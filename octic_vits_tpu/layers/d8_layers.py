@@ -1,0 +1,541 @@
+"""D8-equivariant ViT layers (flax.linen).
+
+All layers operate on the packed isotypic 5-tuple
+``(A1, A2, B1, B2, E)`` with shapes ``[..., C/8]`` for the four 1-dim irreps
+and ``[..., 2, C/4]`` for E (row 0 = E11|E12, row 1 = E21|E22) — the layout
+documented at reference octic_vits/d8_layers.py:38-82.
+
+TPU-first design notes:
+* ``LinearD8`` evaluates the four 1-dim-irrep blocks as ONE batched
+  ``dot_general`` (batch dim = irrep) instead of four separate GEMMs, plus a
+  single E GEMM — two MXU launches per equivariant linear instead of five
+  cuBLAS calls in the reference (octic_vits/d8_layers.py:104-127).
+* ``PatchEmbedD8`` lowers the strided lifting convs to patch-extraction
+  reshapes + one batched matmul (stride == kernel, so the conv IS a matmul);
+  the symmetrized kernels are folded from quadrant parameters at trace time
+  (reference: octic_vits/d8_layers.py:284-497).
+* attention concatenates the per-head irrep slices and runs ONE full-width
+  softmax attention (scores are invariant sums over irreps), exactly like
+  the reference (octic_vits/d8_layers.py:590-660) but in BTNH layout for
+  ``jax.nn.dot_product_attention``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from octic_vits_tpu.d8.group import SQRT2_OVER_4
+from octic_vits_tpu.ops.gelu_d8 import gelu_d8
+
+Array = jnp.ndarray
+Tuple5 = Tuple[Array, Array, Array, Array, Array]
+
+_ONE_DIM_IRREPS = ("A1", "A2", "B1", "B2")
+
+
+def _trunc_normal(std: float = 0.02):
+    return nn.initializers.truncated_normal(stddev=std, lower=-2.0, upper=2.0)
+
+
+class LinearD8(nn.Module):
+    """Block-diagonal equivariant linear map (Schur's lemma).
+
+    One weight per 1-dim irrep (C/8 -> F/8), a single 2x2-block weight for
+    the two E copies (C/4 -> F/4), bias only on A1 (the only irrep containing
+    the constants). Reference: octic_vits/d8_layers.py:104-130.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+    kernel_init: Callable = _trunc_normal(0.02)
+
+    @nn.compact
+    def __call__(self, xs: Tuple5) -> Tuple5:
+        a1, a2, b1, b2, e = xs
+        c8 = a1.shape[-1]
+        f8 = self.features // 8
+        if self.features % 8:
+            raise ValueError("features must be divisible by 8")
+
+        w1 = self.param("kernel_1d", self.kernel_init, (4, c8, f8), self.param_dtype)
+        we = self.param("kernel_e", self.kernel_init, (2 * c8, 2 * f8), self.param_dtype)
+        dtype = self.dtype or a1.dtype
+        w1 = w1.astype(dtype)
+        we = we.astype(dtype)
+
+        ones = jnp.stack((a1, a2, b1, b2), axis=-2).astype(dtype)  # [..., 4, C/8]
+        out1 = jax.lax.dot_general(
+            ones, w1,
+            dimension_numbers=(((ones.ndim - 1,), (1,)), ((ones.ndim - 2,), (0,))),
+            preferred_element_type=dtype,
+        )  # batched over the irrep axis -> [4, ..., F/8]
+        out1 = jnp.moveaxis(out1, 0, -2)
+        oa1, oa2, ob1, ob2 = (out1[..., i, :] for i in range(4))
+        if self.use_bias:
+            bias = self.param("bias_a1", nn.initializers.zeros, (f8,), self.param_dtype)
+            oa1 = oa1 + bias.astype(dtype)
+        oe = jnp.dot(e.astype(dtype), we, preferred_element_type=dtype)
+        return (oa1, oa2, ob1, ob2, oe)
+
+
+class ScaleD8(nn.Module):
+    """Per-irrep diagonal scaling (LayerScale); optionally an A1 bias
+    (then it is the reference's AffineD8). Reference:
+    octic_vits/d8_layers.py:132-158 (AffineD8), 189-212 (LayerScaleD8)."""
+
+    init_value: float = 1.0
+    use_bias: bool = False
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs: Tuple5) -> Tuple5:
+        a1, a2, b1, b2, e = xs
+        c8 = a1.shape[-1]
+        init = nn.initializers.constant(self.init_value)
+        alpha = self.param("alpha_1d", init, (4, c8), self.param_dtype)
+        alpha_e = self.param("alpha_e", init, (2 * c8,), self.param_dtype)
+        dtype = a1.dtype
+        alpha = alpha.astype(dtype)
+        oa1 = alpha[0] * a1
+        if self.use_bias:
+            beta = self.param("beta_a1", nn.initializers.zeros, (c8,), self.param_dtype)
+            oa1 = oa1 + beta.astype(dtype)
+        return (
+            oa1,
+            alpha[1] * a2,
+            alpha[2] * b1,
+            alpha[3] * b2,
+            alpha_e.astype(dtype) * e,
+        )
+
+
+def layer_norm_d8_stats(xs: Tuple5, eps: float = 1e-5) -> Tuple5:
+    """Equivariant layer norm statistics: per-irrep mean subtraction and a
+    SHARED std across irreps,
+
+        std = (sqrt2/4) * sqrt(var_A1 + var_A2 + var_B1 + var_B2
+                               + mean_rows(var_E) + eps)
+
+    exactly the reference formula (octic_vits/d8_layers.py:161-186), eps
+    inside the sqrt, biased variances."""
+    a1, a2, b1, b2, e = xs
+    f32 = jnp.float32
+    var = sum(jnp.var(x.astype(f32), axis=-1, keepdims=True) for x in (a1, a2, b1, b2))
+    var_e = jnp.var(e.astype(f32), axis=-1, keepdims=True)  # [..., 2, 1]
+    var = var + jnp.mean(var_e, axis=-2) + eps
+    std = (SQRT2_OVER_4 * jnp.sqrt(var)).astype(a1.dtype)
+
+    def center(x):
+        return x - jnp.mean(x, axis=-1, keepdims=True)
+
+    return (
+        center(a1) / std,
+        center(a2) / std,
+        center(b1) / std,
+        center(b2) / std,
+        center(e) / std[..., None, :],
+    )
+
+
+class LayerNormD8(nn.Module):
+    """Equivariant LayerNorm = shared-std normalization + AffineD8.
+    Reference: octic_vits/d8_layers.py:161-186."""
+
+    eps: float = 1e-5
+    elementwise_affine: bool = True
+    use_bias: bool = True
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs: Tuple5) -> Tuple5:
+        xs = layer_norm_d8_stats(xs, self.eps)
+        if self.elementwise_affine:
+            xs = ScaleD8(
+                init_value=1.0,
+                use_bias=self.use_bias,
+                param_dtype=self.param_dtype,
+                name="affine",
+            )(xs)
+        return xs
+
+
+class DropoutD8(nn.Module):
+    """Independent dropout on each tuple element (matches the reference's
+    train-time behavior; octic_vits/d8_layers.py:84-96)."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, xs: Tuple5, deterministic: bool = True) -> Tuple5:
+        if self.rate == 0.0 or deterministic:
+            return xs
+        drop = nn.Dropout(rate=self.rate, deterministic=False)
+        return tuple(drop(x) for x in xs)
+
+
+def drop_path_d8(xs: Tuple5, rate: float, rng, scale_by_keep: bool = True) -> Tuple5:
+    """Stochastic depth with ONE shared per-sample mask across all 5 tuple
+    elements (reference: octic_vits/d8_layers.py:249-271)."""
+    keep = 1.0 - rate
+    shape = (xs[0].shape[0],) + (1,) * (xs[0].ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape).astype(xs[0].dtype)
+    if keep > 0.0 and scale_by_keep:
+        mask = mask / keep
+    return (
+        xs[0] * mask,
+        xs[1] * mask,
+        xs[2] * mask,
+        xs[3] * mask,
+        xs[4] * mask[..., None],
+    )
+
+
+class DropPathD8(nn.Module):
+    rate: float = 0.0
+    scale_by_keep: bool = True
+
+    @nn.compact
+    def __call__(self, xs: Tuple5, deterministic: bool = True) -> Tuple5:
+        if self.rate == 0.0 or deterministic:
+            return xs
+        return drop_path_d8(xs, self.rate, self.make_rng("dropout"), self.scale_by_keep)
+
+
+class GeluD8(nn.Module):
+    """Octic GELU module; set ``use_pallas`` to run the fused TPU kernel."""
+
+    use_pallas: bool = False
+
+    def __call__(self, xs: Tuple5) -> Tuple5:
+        return gelu_d8(xs, use_pallas=self.use_pallas)
+
+
+class MlpD8(nn.Module):
+    """fc1 -> octic gelu -> dropout -> (norm) -> fc2 -> dropout.
+    Reference: octic_vits/d8_layers.py:215-247."""
+
+    hidden_features: Optional[int] = None
+    out_features: Optional[int] = None
+    use_bias: bool = True
+    drop: float = 0.0
+    use_pallas_gelu: bool = False
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs: Tuple5, deterministic: bool = True) -> Tuple5:
+        in_features = xs[0].shape[-1] * 8
+        hidden = self.hidden_features or in_features
+        out = self.out_features or in_features
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        xs = LinearD8(hidden, use_bias=self.use_bias, name="fc1", **common)(xs)
+        xs = GeluD8(use_pallas=self.use_pallas_gelu)(xs)
+        xs = DropoutD8(self.drop)(xs, deterministic)
+        xs = LinearD8(out, use_bias=self.use_bias, name="fc2", **common)(xs)
+        xs = DropoutD8(self.drop)(xs, deterministic)
+        return xs
+
+
+# ---------------------------------------------------------------------------
+# Lifting patch embed
+# ---------------------------------------------------------------------------
+
+
+def _expand_lift_kernel(w: Array, irrep: str) -> Array:
+    """Fold a quadrant kernel ``[kh/2, kw/2, I, O]`` out to the full
+    symmetrized ``[kh, kw, I, O]`` kernel for one irrep.
+
+    The reference stores the quadrant and (anti-)symmetrizes with rot90/flip
+    at every forward (octic_vits/d8_layers.py:329-373); under jit this folds
+    into the weight constant. Spatial axes here are leading (HWIO-style).
+    """
+    if irrep == "E":
+        half = 0.5 * w
+        col = jnp.concatenate([half, jnp.flip(half, axis=0)], axis=0)
+        return jnp.concatenate([col, -jnp.flip(col, axis=1)], axis=1)
+    q = SQRT2_OVER_4 * w
+    rot = lambda k: jnp.rot90(q, k=k, axes=(0, 1))
+    sign = -1.0 if irrep in ("B1", "B2") else 1.0
+    left = jnp.concatenate([q, sign * rot(1)], axis=0)
+    right = jnp.concatenate([sign * rot(3), rot(2)], axis=0)
+    full = jnp.concatenate([left, right], axis=1)
+    flipped = jnp.flip(full, axis=1)
+    return full + flipped if irrep in ("A1", "B1") else full - flipped
+
+
+def _patchify(x: Array, patch: int) -> Array:
+    """NHWC image -> [B, gh, gw, p*p*C] patches (row-major (pi, pj, c))."""
+    b, h, w, c = x.shape
+    gh, gw = h // patch, w // patch
+    x = x.reshape(b, gh, patch, gw, patch, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, gh, gw, patch * patch * c)
+
+
+class PatchEmbedD8(nn.Module):
+    """Lifting patch embed: 6 symmetrized stride-p convs (A1 with bias, A2,
+    B1, B2, E-left, E-right; the E kernels are applied twice — once rotated)
+    producing the isotypic 8-tuple, packed to the 5-tuple.
+
+    Lowered to ONE matmul: all symmetrized kernels are concatenated along the
+    output-channel axis and applied to extracted patches (stride == kernel).
+    Reference: octic_vits/d8_layers.py:284-497.
+    """
+
+    patch_size: int = 16
+    embed_dim: int = 768
+    use_bias: bool = True
+    use_norm: bool = False
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Tuple5:
+        if self.embed_dim % 8:
+            raise ValueError("embed_dim must be divisible by 8")
+        p = self.patch_size
+        if p % 2:
+            raise NotImplementedError("odd patch sizes not supported (matches reference)")
+        b, h, w, c_in = x.shape
+        assert h % (2 * p) == 0 and w % (2 * p) == 0, (
+            f"image ({h}x{w}) must be an even multiple of patch size {p}"
+        )
+        outs = self.embed_dim // 8
+
+        def quadrant_init(key, shape, dtype):
+            # kaiming_uniform(a=sqrt(5)) on the quadrant == U(-1/sqrt(fan), 1/sqrt(fan))
+            fan_in = shape[0] * shape[1] * shape[2]
+            bound = 1.0 / math.sqrt(fan_in)
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        quad = (p // 2, p // 2, c_in, outs)
+        kernels = []
+        for irrep in ("A1", "A2", "B1", "B2"):
+            wq = self.param(f"w_{irrep.lower()}", quadrant_init, quad, self.param_dtype)
+            kernels.append(_expand_lift_kernel(wq, irrep))
+        for side in ("e_left", "e_right"):
+            wq = self.param(f"w_{side}", quadrant_init, quad, self.param_dtype)
+            ke = _expand_lift_kernel(wq, "E")
+            kernels.append(ke)
+            kernels.append(jnp.rot90(ke, k=1, axes=(0, 1)))
+        # isotypic slot order: A1 A2 B1 B2 E11 E21 E12 E22
+        kernel = jnp.concatenate(kernels, axis=-1)  # [p, p, C_in, 8*outs]
+        mat = kernel.reshape(p * p * c_in, 8 * outs)
+
+        dtype = self.dtype or x.dtype
+        patches = _patchify(x, p).astype(dtype)
+        feats = jnp.dot(patches, mat.astype(dtype), preferred_element_type=dtype)
+        feats = feats.reshape(b, (h // p) * (w // p), 8, outs)
+
+        if self.use_bias:
+            bias = self.param(
+                "bias_a1",
+                lambda key, shape, dt: jax.random.uniform(
+                    key, shape, dt,
+                    -1.0 / math.sqrt(quad[0] * quad[1] * c_in),
+                    1.0 / math.sqrt(quad[0] * quad[1] * c_in),
+                ),
+                (outs,),
+                self.param_dtype,
+            )
+            feats = feats.at[..., 0, :].add(bias.astype(dtype))
+
+        xs = tuple(feats[..., i, :] for i in range(4)) + (
+            jnp.concatenate(
+                (feats[..., 4:6, :].reshape(b, -1, 2, outs),
+                 feats[..., 6:8, :].reshape(b, -1, 2, outs)),
+                axis=-1,
+            ),
+        )
+        if self.use_norm:
+            xs = LayerNormD8(param_dtype=self.param_dtype, name="norm")(xs)
+        return xs
+
+
+class IsotypicToPatchD8(nn.Module):
+    """Inverse lift: 5-tuple tokens -> image patches, for MAE-style decoders
+    (reference: octic_vits/d8_layers.py:499-588)."""
+
+    patch_side: int
+    out_channels: int = 3
+    use_bias: bool = True
+    reshape_to_image: bool = False
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs: Tuple5) -> Array:
+        if self.patch_side % 2:
+            raise NotImplementedError("odd patch side not implemented (matches reference)")
+        from octic_vits_tpu.d8.group import SQRT2, unpack_5_to_8
+
+        b, l, _ = xs[0].shape
+        ps = self.patch_side
+        dim = xs[0].shape[-1] * 8
+        lin = LinearD8(
+            2 * ps * ps * self.out_channels,
+            use_bias=self.use_bias,
+            param_dtype=self.param_dtype,
+            name="lin8",
+        )
+        parts = unpack_5_to_8(lin(xs))
+        parts = tuple(
+            0.25 * t.reshape(b, l, ps // 2, ps // 2, self.out_channels)
+            for t in parts
+        )
+        rot = lambda x, k: jnp.rot90(x, k=k, axes=(2, 3))
+        flip3 = lambda x: jnp.flip(x, axis=3)
+
+        def four_fold(x, rot_sign):
+            top = jnp.concatenate((x, rot_sign * rot(x, 1)), axis=2)
+            bot = jnp.concatenate((rot_sign * rot(x, 3), rot(x, 2)), axis=2)
+            return jnp.concatenate((top, bot), axis=3)
+
+        fa1 = four_fold(parts[0], 1.0)
+        out = fa1 + flip3(fa1)
+        fa2 = four_fold(parts[1], 1.0)
+        out = out + (fa2 - flip3(fa2))
+        fb1 = four_fold(parts[2], -1.0)
+        out = out + (fb1 + flip3(fb1))
+        fb2 = four_fold(parts[3], -1.0)
+        out = out + (fb2 - flip3(fb2))
+
+        # E folds as cat([x, flip2(x)], 2) then cat([., -flip3(.)], 3)
+        def e_fold_ref(x):
+            col = jnp.concatenate((x, jnp.flip(x, axis=2)), axis=2)
+            return jnp.concatenate((col, -flip3(col)), axis=3)
+
+        e1 = SQRT2 * parts[4]
+        out = out + e_fold_ref(e1)
+        e2 = SQRT2 * parts[5]
+        out = out + rot(e_fold_ref(e2), 1)
+
+        if self.reshape_to_image:
+            hg = wg = int(math.isqrt(l))
+            out = out.reshape(b, hg, wg, ps, ps, self.out_channels)
+            out = out.transpose(0, 1, 3, 2, 4, 5).reshape(
+                b, hg * ps, wg * ps, self.out_channels
+            )
+        else:
+            out = out.reshape(b, l, ps * ps * self.out_channels)
+        return out
+
+
+class AttentionD8(nn.Module):
+    """Equivariant multi-head attention: equivariant qkv/proj projections,
+    ONE full-width softmax attention over per-head irrep-concatenated
+    channels (scores are invariant). Reference: octic_vits/d8_layers.py:590-660."""
+
+    num_heads: int = 8
+    qkv_bias: bool = True
+    proj_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs: Tuple5, deterministic: bool = True) -> Tuple5:
+        b, n, c8 = xs[0].shape
+        c = 8 * c8
+        h = self.num_heads
+        if (c // h) % 8:
+            raise ValueError("head dim must be divisible by 8")
+        d1 = c // (8 * h)   # per-head slice of each 1-dim irrep
+        de = c // (4 * h)   # per-head slice of each E row
+
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        qkvs = LinearD8(3 * c, use_bias=self.qkv_bias, name="qkv", **common)(xs)
+
+        parts = [t.reshape(b, n, 3, h, d1) for t in qkvs[:4]]
+        e_part = qkvs[4].reshape(b, n, 2, 3, h, de)
+        e_part = e_part.transpose(0, 1, 3, 4, 2, 5).reshape(b, n, 3, h, 2 * de)
+        qkv = jnp.concatenate(parts + [e_part], axis=-1)  # [B,N,3,H,dh]
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B,N,H,dh] (BTNH)
+
+        if self.attn_drop > 0.0 and not deterministic:
+            scale = (c // h) ** -0.5
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+            probs = nn.Dropout(rate=self.attn_drop, deterministic=False)(probs)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        else:
+            out = jax.nn.dot_product_attention(q, k, v)
+
+        x1, x2 = jnp.split(out, 2, axis=-1)
+        outs1 = tuple(t.reshape(b, n, c8) for t in jnp.split(x1, 4, axis=-1))
+        xe = x2.reshape(b, n, h, 2, de).transpose(0, 1, 3, 2, 4).reshape(b, n, 2, c // 4)
+
+        ys = LinearD8(c, use_bias=self.proj_bias, name="proj", **common)(outs1 + (xe,))
+        ys = DropoutD8(self.proj_drop)(ys, deterministic)
+        return ys
+
+
+class BlockD8(nn.Module):
+    """Pre-norm equivariant transformer block.
+
+    With ``layerscale_init`` set it is the DINOv2-style BlockD8
+    (reference: octic_vits/d8_layers.py:713-776); the DeiT III
+    `Layer_scale_init_BlockD8` (reference: octic_vits/d8_layers.py:665-707)
+    is the same computation with init 1e-4 (its gamma AffineD8(bias=False)
+    is functionally LayerScale)."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    proj_bias: bool = True
+    ffn_bias: bool = True
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    layerscale_init: Optional[float] = None
+    use_pallas_gelu: bool = False
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs: Tuple5, deterministic: bool = True) -> Tuple5:
+        dim = xs[0].shape[-1] * 8
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+
+        def maybe_scale(ys, name):
+            if self.layerscale_init is None:
+                return ys
+            return ScaleD8(
+                init_value=self.layerscale_init,
+                param_dtype=self.param_dtype,
+                name=name,
+            )(ys)
+
+        ys = LayerNormD8(param_dtype=self.param_dtype, name="norm1")(xs)
+        ys = AttentionD8(
+            num_heads=self.num_heads,
+            qkv_bias=self.qkv_bias,
+            proj_bias=self.proj_bias,
+            attn_drop=self.attn_drop,
+            proj_drop=self.drop,
+            name="attn",
+            **common,
+        )(ys, deterministic)
+        ys = maybe_scale(ys, "ls1")
+        ys = DropPathD8(self.drop_path, name="drop_path1")(ys, deterministic)
+        xs = tuple(x + y for x, y in zip(xs, ys))
+
+        ys = LayerNormD8(param_dtype=self.param_dtype, name="norm2")(xs)
+        ys = MlpD8(
+            hidden_features=int(dim * self.mlp_ratio),
+            use_bias=self.ffn_bias,
+            drop=self.drop,
+            use_pallas_gelu=self.use_pallas_gelu,
+            name="mlp",
+            **common,
+        )(ys, deterministic)
+        ys = maybe_scale(ys, "ls2")
+        ys = DropPathD8(self.drop_path, name="drop_path2")(ys, deterministic)
+        return tuple(x + y for x, y in zip(xs, ys))
