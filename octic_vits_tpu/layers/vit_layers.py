@@ -1,0 +1,238 @@
+"""Standard (non-equivariant) ViT layers for the baselines and for the
+standard half of hybrid octic models.
+
+Covers the reference's DeiT III blocks (reference: deit/vit.py:14-134) and
+DINOv2 blocks (reference: dinov2/layers/*): pre-norm attention/MLP with
+optional LayerScale and stochastic depth, SwiGLU FFN option, and a plain
+patch embed lowered to patchify+matmul.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+
+def _trunc_normal(std: float = 0.02):
+    return nn.initializers.truncated_normal(stddev=std, lower=-2.0, upper=2.0)
+
+
+class Mlp(nn.Module):
+    hidden_features: Optional[int] = None
+    out_features: Optional[int] = None
+    use_bias: bool = True
+    drop: float = 0.0
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        in_features = x.shape[-1]
+        hidden = self.hidden_features or in_features
+        out = self.out_features or in_features
+        dense = lambda f, name: nn.Dense(
+            f,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            kernel_init=_trunc_normal(0.02),
+            name=name,
+        )
+        x = dense(hidden, "fc1")(x)
+        x = jax.nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.drop)(x, deterministic)
+        x = dense(out, "fc2")(x)
+        x = nn.Dropout(self.drop)(x, deterministic)
+        return x
+
+
+class SwiGLUFFN(nn.Module):
+    """SwiGLU FFN (DINOv2 option; reference: dinov2/layers/swiglu_ffn.py)."""
+
+    hidden_features: Optional[int] = None
+    use_bias: bool = True
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        in_features = x.shape[-1]
+        hidden = self.hidden_features or in_features
+        # reference aligns hidden to 2/3 * 4d rounded to multiples of 8
+        hidden = (int(hidden * 2 / 3) + 7) // 8 * 8
+        dense = lambda f, name: nn.Dense(
+            f,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            kernel_init=_trunc_normal(0.02),
+            name=name,
+        )
+        x12 = dense(2 * hidden, "w12")(x)
+        x1, x2 = jnp.split(x12, 2, axis=-1)
+        return dense(in_features, "w3")(jax.nn.silu(x1) * x2)
+
+
+class Attention(nn.Module):
+    """Standard MHA (reference: deit/vit.py:14-55, dinov2/layers/attention.py)."""
+
+    num_heads: int = 8
+    qkv_bias: bool = False
+    proj_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        b, n, c = x.shape
+        h = self.num_heads
+        dense = lambda f, bias, name: nn.Dense(
+            f,
+            use_bias=bias,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            kernel_init=_trunc_normal(0.02),
+            name=name,
+        )
+        qkv = dense(3 * c, self.qkv_bias, "qkv")(x).reshape(b, n, 3, h, c // h)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # BTNH
+        if self.attn_drop > 0.0 and not deterministic:
+            scale = (c // h) ** -0.5
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+            probs = nn.Dropout(rate=self.attn_drop, deterministic=False)(probs)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        else:
+            out = jax.nn.dot_product_attention(q, k, v)
+        out = out.reshape(b, n, c)
+        out = dense(c, self.proj_bias, "proj")(out)
+        out = nn.Dropout(self.proj_drop)(out, deterministic)
+        return out
+
+
+def drop_path(x: Array, rate: float, rng, scale_by_keep: bool = True) -> Array:
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape).astype(x.dtype)
+    if keep > 0.0 and scale_by_keep:
+        mask = mask / keep
+    return x * mask
+
+
+class DropPath(nn.Module):
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        if self.rate == 0.0 or deterministic:
+            return x
+        return drop_path(x, self.rate, self.make_rng("dropout"))
+
+
+class Block(nn.Module):
+    """Pre-norm transformer block with optional LayerScale.
+
+    `layerscale_init=1e-4` reproduces the DeiT III Layer_scale_init_Block
+    (reference: deit/vit.py:90-134); DINOv2 blocks use 1e-5
+    (reference: dinov2/layers/block.py:43-103). `layerscale_init=None`
+    disables LayerScale (vanilla timm block)."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = False
+    proj_bias: bool = True
+    ffn_bias: bool = True
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    layerscale_init: Optional[float] = 1e-4
+    norm_eps: float = 1e-6
+    ffn_layer: str = "mlp"
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        dim = x.shape[-1]
+        norm = lambda name: nn.LayerNorm(
+            epsilon=self.norm_eps, param_dtype=self.param_dtype, name=name
+        )
+
+        def scale(y, name):
+            if self.layerscale_init is None:
+                return y
+            gamma = self.param(
+                name,
+                nn.initializers.constant(self.layerscale_init),
+                (dim,),
+                self.param_dtype,
+            )
+            return gamma.astype(y.dtype) * y
+
+        y = Attention(
+            num_heads=self.num_heads,
+            qkv_bias=self.qkv_bias,
+            proj_bias=self.proj_bias,
+            attn_drop=self.attn_drop,
+            proj_drop=self.drop,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="attn",
+        )(norm("norm1")(x), deterministic)
+        y = DropPath(self.drop_path, name="drop_path1")(scale(y, "gamma_1"), deterministic)
+        x = x + y
+
+        if self.ffn_layer == "swiglu":
+            ffn = SwiGLUFFN(
+                hidden_features=int(dim * self.mlp_ratio),
+                use_bias=self.ffn_bias,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="mlp",
+            )
+        else:
+            ffn = Mlp(
+                hidden_features=int(dim * self.mlp_ratio),
+                use_bias=self.ffn_bias,
+                drop=self.drop,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="mlp",
+            )
+        y = ffn(norm("norm2")(x), deterministic)
+        y = DropPath(self.drop_path, name="drop_path2")(scale(y, "gamma_2"), deterministic)
+        return x + y
+
+
+class PatchEmbed(nn.Module):
+    """Standard patch embed as patchify + matmul (stride == kernel)."""
+
+    patch_size: int = 16
+    embed_dim: int = 768
+    use_bias: bool = True
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        from octic_vits_tpu.layers.d8_layers import _patchify
+
+        b, h, w, c = x.shape
+        p = self.patch_size
+        patches = _patchify(x, p)
+        out = nn.Dense(
+            self.embed_dim,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            kernel_init=_trunc_normal(0.02),
+            name="proj",
+        )(patches)
+        return out.reshape(b, (h // p) * (w // p), self.embed_dim)
