@@ -1,0 +1,213 @@
+"""Host-side image transforms (PIL + numpy, NHWC float32 output).
+
+Covers the three reference pipelines:
+* eval: Resize(size/crop_ratio, bicubic) -> CenterCrop -> normalize
+  (reference: deit/datasets.py:113-136)
+* DeiT III "3-Augment": RRC + hflip + choice(grayscale/solarize/blur) +
+  color jitter (reference: deit/augment.py:90-123)
+* DINOv2 multi-crop: 2 global + N local crops with blur/solarize recipe
+  (reference: dinov2/data/augmentations.py:19-118)
+
+Plus the equivariance stress transforms (`RandomRotate90`, flip) used by
+`--rot-eval` / `--flop-eval` (reference: deit/datasets.py:119-132).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image, ImageFilter, ImageOps
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+_BICUBIC = Image.BICUBIC
+
+
+def to_normalized_array(img: Image.Image) -> np.ndarray:
+    """PIL -> float32 NHWC-normalized [H, W, 3]."""
+    arr = np.asarray(img.convert("RGB"), np.float32) / 255.0
+    return (arr - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def resize_center_crop(img: Image.Image, size: int, crop_ratio: float = 0.875):
+    resize_to = int(size / crop_ratio)
+    w, h = img.size
+    if w < h:
+        nw, nh = resize_to, int(resize_to * h / w)
+    else:
+        nw, nh = int(resize_to * w / h), resize_to
+    img = img.resize((nw, nh), _BICUBIC)
+    left = (nw - size) // 2
+    top = (nh - size) // 2
+    return img.crop((left, top, left + size, top + size))
+
+
+def eval_transform(img: Image.Image, size: int = 224, crop_ratio: float = 0.875):
+    return to_normalized_array(resize_center_crop(img, size, crop_ratio))
+
+
+def random_resized_crop(
+    img: Image.Image, size: int, scale: Tuple[float, float],
+    rng: random.Random, ratio=(3 / 4, 4 / 3),
+) -> Image.Image:
+    """torchvision RandomResizedCrop semantics, bicubic."""
+    w, h = img.size
+    area = w * h
+    for _ in range(10):
+        target = area * rng.uniform(*scale)
+        log_r = (math.log(ratio[0]), math.log(ratio[1]))
+        r = math.exp(rng.uniform(*log_r))
+        cw = int(round(math.sqrt(target * r)))
+        ch = int(round(math.sqrt(target / r)))
+        if 0 < cw <= w and 0 < ch <= h:
+            left = rng.randint(0, w - cw)
+            top = rng.randint(0, h - ch)
+            return img.resize(
+                (size, size), _BICUBIC, box=(left, top, left + cw, top + ch)
+            )
+    # fallback: center crop
+    s = min(w, h)
+    left, top = (w - s) // 2, (h - s) // 2
+    return img.resize((size, size), _BICUBIC, box=(left, top, left + s, top + s))
+
+
+def gaussian_blur(img: Image.Image, rng: random.Random,
+                  radius_range=(0.1, 2.0)) -> Image.Image:
+    return img.filter(ImageFilter.GaussianBlur(rng.uniform(*radius_range)))
+
+
+def color_jitter(
+    img: Image.Image, rng: random.Random,
+    brightness=0.0, contrast=0.0, saturation=0.0, hue=0.0,
+) -> Image.Image:
+    """torchvision ColorJitter analog (random order of the four ops)."""
+    from PIL import ImageEnhance
+
+    ops = []
+    if brightness > 0:
+        f = rng.uniform(max(0, 1 - brightness), 1 + brightness)
+        ops.append(lambda im: ImageEnhance.Brightness(im).enhance(f))
+    if contrast > 0:
+        f2 = rng.uniform(max(0, 1 - contrast), 1 + contrast)
+        ops.append(lambda im: ImageEnhance.Contrast(im).enhance(f2))
+    if saturation > 0:
+        f3 = rng.uniform(max(0, 1 - saturation), 1 + saturation)
+        ops.append(lambda im: ImageEnhance.Color(im).enhance(f3))
+    if hue > 0:
+        dh = rng.uniform(-hue, hue)
+
+        def hue_op(im, dh=dh):
+            hsv = np.asarray(im.convert("HSV"), np.uint8).copy()
+            hsv[..., 0] = (hsv[..., 0].astype(np.int16) + int(dh * 255)) % 256
+            return Image.fromarray(hsv, "HSV").convert("RGB")
+
+        ops.append(hue_op)
+    rng.shuffle(ops)
+    for op in ops:
+        img = op(img)
+    return img
+
+
+def three_augment(
+    img: Image.Image,
+    size: int = 224,
+    rng: Optional[random.Random] = None,
+    color_jitter_strength: float = 0.3,
+    src: bool = False,
+) -> np.ndarray:
+    """DeiT III 3-Augment (reference: deit/augment.py:90-123)."""
+    rng = rng or random
+    if src:
+        # simple-random-crop variant: resize + pad-reflect random crop
+        img = img.resize((size, size), _BICUBIC)
+    else:
+        img = random_resized_crop(img, size, (0.08, 1.0), rng)
+    if rng.random() < 0.5:
+        img = img.transpose(Image.FLIP_LEFT_RIGHT)
+    choice = rng.randint(0, 2)
+    if choice == 0:
+        img = ImageOps.grayscale(img).convert("RGB")
+    elif choice == 1:
+        img = ImageOps.solarize(img, threshold=128)
+    else:
+        img = gaussian_blur(img, rng)
+    if color_jitter_strength:
+        img = color_jitter(
+            img, rng,
+            brightness=color_jitter_strength,
+            contrast=color_jitter_strength,
+            saturation=color_jitter_strength,
+        )
+    return to_normalized_array(img)
+
+
+class DataAugmentationDINO:
+    """DINOv2 multi-crop augmentation
+    (reference: dinov2/data/augmentations.py:19-118)."""
+
+    def __init__(
+        self,
+        global_crops_scale=(0.32, 1.0),
+        local_crops_scale=(0.05, 0.32),
+        local_crops_number=8,
+        global_crops_size=224,
+        local_crops_size=96,
+    ):
+        self.global_crops_scale = global_crops_scale
+        self.local_crops_scale = local_crops_scale
+        self.local_crops_number = local_crops_number
+        self.global_crops_size = global_crops_size
+        self.local_crops_size = local_crops_size
+
+    def _color(self, img, rng):
+        if rng.random() < 0.8:
+            img = color_jitter(img, rng, 0.4, 0.4, 0.2, 0.1)
+        if rng.random() < 0.2:
+            img = ImageOps.grayscale(img).convert("RGB")
+        return img
+
+    def _geo(self, img, size, scale, rng):
+        img = random_resized_crop(img, size, scale, rng)
+        if rng.random() < 0.5:
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        return img
+
+    def __call__(self, image: Image.Image, rng: Optional[random.Random] = None):
+        rng = rng or random
+        g1 = self._geo(image, self.global_crops_size, self.global_crops_scale, rng)
+        g1 = self._color(g1, rng)
+        g1 = gaussian_blur(g1, rng)  # p=1.0
+
+        g2 = self._geo(image, self.global_crops_size, self.global_crops_scale, rng)
+        g2 = self._color(g2, rng)
+        if rng.random() < 0.1:
+            g2 = gaussian_blur(g2, rng)
+        if rng.random() < 0.2:
+            g2 = ImageOps.solarize(g2, threshold=128)
+
+        locals_ = []
+        for _ in range(self.local_crops_number):
+            lc = self._geo(image, self.local_crops_size, self.local_crops_scale, rng)
+            lc = self._color(lc, rng)
+            if rng.random() < 0.5:
+                lc = gaussian_blur(lc, rng)
+            locals_.append(to_normalized_array(lc))
+        return {
+            "global_crops": [to_normalized_array(g1), to_normalized_array(g2)],
+            "local_crops": locals_,
+        }
+
+
+def rotate90(img_arr: np.ndarray, k: int = 1) -> np.ndarray:
+    """Equivariance stress eval: rot90 on a normalized HWC array
+    (reference: deit/datasets.py:119-126, --rot-eval)."""
+    return np.rot90(img_arr, k=k, axes=(0, 1)).copy()
+
+
+def hflip(img_arr: np.ndarray) -> np.ndarray:
+    """--flop-eval (reference: deit/datasets.py:127-132)."""
+    return img_arr[:, ::-1].copy()

