@@ -15,10 +15,19 @@ Prints ONE json line:
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+
+# persistent compile cache: the axon remote-compile warmup dominates
+# first-run latency; cached executables make reruns immediate
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BATCH = 64
 IMG = 224
