@@ -40,12 +40,27 @@ _INV_SQRT2 = 1.0 / math.sqrt(2.0)
 _INV_SQRT2PI = 1.0 / math.sqrt(2.0 * math.pi)
 
 
+def _erf(x):
+    """erf via Abramowitz-Stegun 7.1.26 (max abs error 1.5e-7 — fp32-exact).
+
+    Mosaic has no TPU lowering for lax.erf inside Pallas kernels, so the
+    kernel carries its own rational approximation; the eager oracle keeps
+    the exact erf and the kernel tests bound the difference."""
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.sign(x) * y
+
+
 def _gelu_exact(u):
-    return 0.5 * u * (1.0 + jax.lax.erf(u * _INV_SQRT2))
+    return 0.5 * u * (1.0 + _erf(u * _INV_SQRT2))
 
 
 def _gelu_grad(u):
-    cdf = 0.5 * (1.0 + jax.lax.erf(u * _INV_SQRT2))
+    cdf = 0.5 * (1.0 + _erf(u * _INV_SQRT2))
     pdf = _INV_SQRT2PI * jnp.exp(-0.5 * u * u)
     return cdf + u * pdf
 

@@ -178,7 +178,8 @@ def make_eval_step(model, use_ema: bool = False):
     def eval_fn(params, images, labels):
         logits = model.apply({"params": params}, images)
         loss = cross_entropy_loss(logits, labels)
-        top5 = jax.lax.top_k(logits, 5)[1]
+        k = min(5, logits.shape[-1])
+        top5 = jax.lax.top_k(logits, k)[1]
         correct1 = (top5[:, 0] == labels).sum()
         correct5 = (top5 == labels[:, None]).any(-1).sum()
         n = labels.shape[0]
