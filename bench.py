@@ -65,14 +65,17 @@ def main():
     except Exception:
         use_pallas = False
 
+    # scan_blocks: identical math, ~depth-times faster XLA compiles
     hybrid = OcticVisionTransformer(
         img_size=IMG, patch_size=14, embed_dim=1280, depth=32, num_heads=16,
         mlp_ratio=4.0, qkv_bias=True, num_classes=1000, dtype=jnp.bfloat16,
+        scan_blocks=True,
         use_pallas_gelu=use_pallas and jax.default_backend() != "cpu",
     )
     standard = VisionTransformer(
         img_size=IMG, patch_size=14, embed_dim=1280, depth=32, num_heads=16,
         mlp_ratio=4.0, qkv_bias=True, num_classes=1000, dtype=jnp.bfloat16,
+        scan_blocks=True,
     )
 
     hybrid_ips = bench_model(hybrid)

@@ -222,11 +222,17 @@ class OcticDinoVisionTransformer(OcticVisionTransformer):
         return self._cat_cls_and_registers(xs, b)
 
     def _run_to_break(self, xs, deterministic):
+        if self.scan_blocks:
+            xs, _ = self.octic_stack(xs, deterministic)
+            return self._break_to_flat(xs)
         for blk in self.blocks[: self.break_layer]:
             xs = blk(xs, deterministic)
         return self._break_to_flat(xs)
 
     def _run_after_break(self, z, deterministic):
+        if self.scan_blocks:
+            z, _ = self.standard_stack(z, deterministic)
+            return z
         for blk in self.blocks[self.break_layer :]:
             z = blk(z, deterministic)
         return z
@@ -266,6 +272,9 @@ class OcticDinoVisionTransformer(OcticVisionTransformer):
         return_class_token: bool = False,
         norm: bool = True,
     ):
+        assert not self.scan_blocks, (
+            "get_intermediate_layers requires unrolled blocks (scan_blocks=False)"
+        )
         take = (
             list(range(self.depth - n, self.depth)) if isinstance(n, int) else list(n)
         )

@@ -55,6 +55,8 @@ class OcticVisionTransformer(nn.Module):
     invariant_kind: str = "power_spectrum"
     octic_equi_break_layer: Optional[int] = None  # None = depth // 2
     cls_init: str = "deit"  # "deit": trunc_normal(0.16); "dinov2": normal(1e-6)
+    scan_blocks: bool = False  # lax.scan trunk: ~depth-times faster compiles
+    remat: bool = False        # per-block rematerialization (training memory)
     use_pallas_gelu: bool = False
     dtype: Any = None
     param_dtype: Any = jnp.float32
@@ -115,45 +117,53 @@ class OcticVisionTransformer(nn.Module):
                 param_dtype=self.param_dtype,
             )
 
-        blocks = []
-        for i in range(self.depth):
-            if i < self.break_layer:
-                blocks.append(
-                    BlockD8(
-                        num_heads=self.num_heads,
-                        mlp_ratio=self.mlp_ratio,
-                        qkv_bias=self.qkv_bias,
-                        proj_bias=self.proj_bias,
-                        ffn_bias=self.ffn_bias,
-                        drop=self.drop_rate,
-                        attn_drop=self.attn_drop_rate,
-                        drop_path=self.drop_path_rate,
-                        layerscale_init=self.init_scale,
-                        use_pallas_gelu=self.use_pallas_gelu,
-                        dtype=self.dtype,
-                        param_dtype=self.param_dtype,
-                        name=f"blocks_{i}",
-                    )
-                )
-            else:
-                blocks.append(
-                    Block(
-                        num_heads=self.num_heads,
-                        mlp_ratio=self.mlp_ratio,
-                        qkv_bias=self.qkv_bias,
-                        proj_bias=self.proj_bias,
-                        ffn_bias=self.ffn_bias,
-                        drop=self.drop_rate,
-                        attn_drop=self.attn_drop_rate,
-                        drop_path=self.drop_path_rate,
-                        layerscale_init=self.init_scale,
-                        norm_eps=1e-6,
-                        dtype=self.dtype,
-                        param_dtype=self.param_dtype,
-                        name=f"blocks_{i}",
-                    )
-                )
-        self.blocks = blocks
+        octic_cfg = dict(
+            num_heads=self.num_heads,
+            mlp_ratio=self.mlp_ratio,
+            qkv_bias=self.qkv_bias,
+            proj_bias=self.proj_bias,
+            ffn_bias=self.ffn_bias,
+            drop=self.drop_rate,
+            attn_drop=self.attn_drop_rate,
+            drop_path=self.drop_path_rate,
+            layerscale_init=self.init_scale,
+            use_pallas_gelu=self.use_pallas_gelu,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )
+        std_cfg = dict(
+            num_heads=self.num_heads,
+            mlp_ratio=self.mlp_ratio,
+            qkv_bias=self.qkv_bias,
+            proj_bias=self.proj_bias,
+            ffn_bias=self.ffn_bias,
+            drop=self.drop_rate,
+            attn_drop=self.attn_drop_rate,
+            drop_path=self.drop_path_rate,
+            layerscale_init=self.init_scale,
+            norm_eps=1e-6,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )
+        if self.scan_blocks:
+            from octic_vits_tpu.models.scan_blocks import make_scanned_stack
+
+            self.octic_stack = make_scanned_stack(
+                "octic", octic_cfg, self.break_layer, "octic_blocks",
+                remat=self.remat,
+            )
+            self.standard_stack = make_scanned_stack(
+                "standard", std_cfg, self.depth - self.break_layer,
+                "standard_blocks", remat=self.remat,
+            )
+            self.blocks = []
+        else:
+            self.blocks = [
+                BlockD8(**octic_cfg, name=f"blocks_{i}")
+                if i < self.break_layer
+                else Block(**std_cfg, name=f"blocks_{i}")
+                for i in range(self.depth)
+            ]
         self.norm = nn.LayerNorm(epsilon=1e-6, param_dtype=self.param_dtype)
         if self.num_classes > 0:
             self.head = nn.Dense(
@@ -216,12 +226,16 @@ class OcticVisionTransformer(nn.Module):
         xs = self._add_pos(xs, grid_hw)
         xs = self._cat_cls_and_registers(xs, b)
 
-        for blk in self.blocks[: self.break_layer]:
-            xs = blk(xs, deterministic)
-
-        z = self._break_to_flat(xs)
-        for blk in self.blocks[self.break_layer :]:
-            z = blk(z, deterministic)
+        if self.scan_blocks:
+            xs, _ = self.octic_stack(xs, deterministic)
+            z = self._break_to_flat(xs)
+            z, _ = self.standard_stack(z, deterministic)
+        else:
+            for blk in self.blocks[: self.break_layer]:
+                xs = blk(xs, deterministic)
+            z = self._break_to_flat(xs)
+            for blk in self.blocks[self.break_layer :]:
+                z = blk(z, deterministic)
         z = self.norm(z)
         return jnp.mean(z, axis=1) if self.global_pool else z[:, 0]
 

@@ -1,0 +1,59 @@
+"""Scan-over-blocks execution: compile the transformer trunk as ONE
+`lax.scan` over stacked per-block parameters instead of N unrolled blocks.
+
+TPU-first rationale: XLA compile time (and HLO size) scales with the
+unrolled depth; a ViT-H trunk is 32 structurally identical blocks, so
+scanning compiles ~depth-times faster with identical math. Optional
+per-block rematerialization (`remat`) trades recompute for activation
+memory in training (jax.checkpoint).
+
+Param layout in scan mode: params["octic_blocks"]["block"][...] and
+params["standard_blocks"]["block"][...] carry a leading `depth` axis on
+every leaf (flax nn.scan variable_axes=0).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+
+from octic_vits_tpu.layers.d8_layers import BlockD8
+from octic_vits_tpu.layers.vit_layers import Block
+
+
+class _ScanBlockD8(nn.Module):
+    cfg: Any  # dict of BlockD8 kwargs
+
+    @nn.compact
+    def __call__(self, xs, deterministic):
+        return BlockD8(**self.cfg, name="block")(xs, deterministic), None
+
+
+class _ScanBlock(nn.Module):
+    cfg: Any  # dict of Block kwargs
+
+    @nn.compact
+    def __call__(self, x, deterministic):
+        return Block(**self.cfg, name="block")(x, deterministic), None
+
+
+def make_scanned_stack(kind: str, cfg: dict, length: int, name: str,
+                       remat: bool = False):
+    """kind: 'octic' | 'standard'. Returns a module instance: call with
+    (carry, deterministic) -> (carry, None)."""
+    target = _ScanBlockD8 if kind == "octic" else _ScanBlock
+    if remat:
+        target = nn.remat(
+            target,
+            static_argnums=(2,),  # deterministic flag stays static
+            prevent_cse=False,
+        )
+    scanned = nn.scan(
+        target,
+        variable_axes={"params": 0},
+        split_rngs={"params": True, "dropout": True},
+        length=length,
+        in_axes=(nn.broadcast,),
+    )
+    return scanned(cfg=cfg, name=name)

@@ -37,6 +37,8 @@ class VisionTransformer(nn.Module):
     drop_path_rate: float = 0.0
     init_scale: Optional[float] = 1e-4
     global_pool: bool = False
+    scan_blocks: bool = False
+    remat: bool = False
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
@@ -55,21 +57,28 @@ class VisionTransformer(nn.Module):
         self.cls_token = self.param(
             "cls_token", _trunc_normal(0.02), (1, 1, self.embed_dim), self.param_dtype
         )
-        self.blocks = [
-            Block(
-                num_heads=self.num_heads,
-                mlp_ratio=self.mlp_ratio,
-                qkv_bias=self.qkv_bias,
-                attn_drop=self.attn_drop_rate,
-                drop_path=self.drop_path_rate,
-                layerscale_init=self.init_scale,
-                norm_eps=1e-6,
-                dtype=self.dtype,
-                param_dtype=self.param_dtype,
-                name=f"blocks_{i}",
+        block_cfg = dict(
+            num_heads=self.num_heads,
+            mlp_ratio=self.mlp_ratio,
+            qkv_bias=self.qkv_bias,
+            attn_drop=self.attn_drop_rate,
+            drop_path=self.drop_path_rate,
+            layerscale_init=self.init_scale,
+            norm_eps=1e-6,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )
+        if self.scan_blocks:
+            from octic_vits_tpu.models.scan_blocks import make_scanned_stack
+
+            self.block_stack = make_scanned_stack(
+                "standard", block_cfg, self.depth, "blocks", remat=self.remat
             )
-            for i in range(self.depth)
-        ]
+            self.blocks = []
+        else:
+            self.blocks = [
+                Block(**block_cfg, name=f"blocks_{i}") for i in range(self.depth)
+            ]
         self.norm = nn.LayerNorm(epsilon=1e-6, param_dtype=self.param_dtype)
         if self.num_classes > 0:
             self.head = nn.Dense(
@@ -87,8 +96,11 @@ class VisionTransformer(nn.Module):
             self.cls_token.astype(x.dtype), (b, 1, self.embed_dim)
         )
         x = jnp.concatenate((cls, x), axis=1)
-        for blk in self.blocks:
-            x = blk(x, deterministic)
+        if self.scan_blocks:
+            x, _ = self.block_stack(x, deterministic)
+        else:
+            for blk in self.blocks:
+                x = blk(x, deterministic)
         x = self.norm(x)
         return jnp.mean(x[:, 1:], axis=1) if self.global_pool else x[:, 0]
 

@@ -1,0 +1,129 @@
+"""DeiT III CLI (argparse surface mirroring reference deit/main.py:37-204,
+reduced to the flags the recipes actually use; paper defaults from
+experiments/train_deit.py:31-66)."""
+
+from __future__ import annotations
+
+import argparse
+from typing import List, Optional
+
+
+def get_args_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("DeiT III training/eval", add_help=False)
+    p.add_argument("--model", default="hybrid_deit_huge_patch14")
+    p.add_argument("--input-size", type=int, default=224)
+    p.add_argument("--batch-size", type=int, default=2048, help="global batch")
+    p.add_argument("--epochs", type=int, default=400)
+    p.add_argument("--lr", type=float, default=3e-3)
+    p.add_argument("--unscale-lr", action="store_true", default=True)
+    p.add_argument("--weight-decay", type=float, default=0.02)
+    p.add_argument("--warmup-epochs", type=int, default=5)
+    p.add_argument("--warmup-lr", type=float, default=1e-6)
+    p.add_argument("--min-lr", type=float, default=1e-5)
+    p.add_argument("--drop-path", type=float, default=0.45)
+    p.add_argument("--smoothing", type=float, default=0.0)
+    p.add_argument("--bce-loss", action="store_true", default=True)
+    p.add_argument("--cosub", action="store_true", default=False)
+    p.add_argument("--mixup", type=float, default=0.8)
+    p.add_argument("--cutmix", type=float, default=1.0)
+    p.add_argument("--color-jitter", type=float, default=0.3)
+    p.add_argument("--ThreeAugment", action="store_true", default=True)
+    p.add_argument("--src", action="store_true", default=False,
+                   help="simple random crop instead of RRC")
+    p.add_argument("--model-ema-decay", type=float, default=0.99996)
+    p.add_argument("--clip-grad", type=float, default=None)
+    p.add_argument("--seed", type=int, default=1337)
+    p.add_argument("--data-path", default="")
+    p.add_argument("--data-set", default="IMNET",
+                   choices=["IMNET", "CIFAR", "IMAGEFOLDER"])
+    p.add_argument("--eval-crop-ratio", type=float, default=1.0)
+    p.add_argument("--output_dir", default="./out")
+    p.add_argument("--resume", default="")
+    p.add_argument("--eval", action="store_true", help="eval only")
+    p.add_argument("--rot-eval", action="store_true",
+                   help="rot90 the val images (equivariance stress)")
+    p.add_argument("--flop-eval", action="store_true",
+                   help="hflip the val images (equivariance stress)")
+    p.add_argument("--finetune", default="", help="checkpoint to finetune from")
+    p.add_argument("--attn-only", action="store_true")
+    p.add_argument("--num-workers", type=int, default=10)
+    p.add_argument("--max-steps", type=int, default=None)
+    return p
+
+
+def main(argv: Optional[List[str]] = None):
+    import functools
+    import random as pyrandom
+
+    from octic_vits_tpu.data.datasets import ImageFolder
+    from octic_vits_tpu.data.transforms import (
+        eval_transform, hflip, rotate90, three_augment,
+    )
+    from octic_vits_tpu.train.deit.engine import DeiTConfig
+    from octic_vits_tpu.train.deit.main import train
+
+    args = get_args_parser().parse_args(argv)
+    cfg = DeiTConfig(
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        lr=args.lr,
+        unscale_lr=args.unscale_lr,
+        weight_decay=args.weight_decay,
+        warmup_epochs=args.warmup_epochs,
+        warmup_lr=args.warmup_lr,
+        min_lr=args.min_lr,
+        loss_type="bce" if args.bce_loss else "ce",
+        smoothing=args.smoothing,
+        cosub=args.cosub,
+        mixup_alpha=args.mixup,
+        cutmix_alpha=args.cutmix,
+        drop_path=args.drop_path,
+        ema_decay=args.model_ema_decay,
+        clip_grad=args.clip_grad,
+    )
+
+    rng = pyrandom.Random(args.seed)
+    train_tf = functools.partial(
+        three_augment, size=args.input_size, rng=rng,
+        color_jitter_strength=args.color_jitter, src=args.src,
+    )
+
+    def val_tf(img):
+        arr = eval_transform(img, args.input_size, args.eval_crop_ratio)
+        if args.rot_eval:
+            arr = rotate90(arr)
+        if args.flop_eval:
+            arr = hflip(arr)
+        return arr
+
+    train_ds = ImageFolder(f"{args.data_path}/train", transform=train_tf)
+    val_ds = ImageFolder(f"{args.data_path}/val", transform=val_tf)
+
+    if args.eval:
+        import jax
+
+        from octic_vits_tpu.data.loaders import DataLoader
+        from octic_vits_tpu.data.samplers import EpochSampler
+        from octic_vits_tpu.hub import load_backbone
+        from octic_vits_tpu.train.deit.main import evaluate
+
+        model, params = load_backbone(
+            args.model, checkpoint=args.resume or None, checkpoint_key="model",
+            num_classes=1000,
+        )
+        loader = DataLoader(
+            val_ds, EpochSampler(len(val_ds)), batch_size=256,
+            num_workers=args.num_workers, drop_last=False,
+        )
+        stats = evaluate(model, params, loader)
+        print(
+            f"* Acc@1 {stats['acc1']:.3f} Acc@5 {stats['acc5']:.3f} "
+            f"loss {stats['loss']:.3f}"
+        )
+        return stats
+
+    return train(
+        args.model, cfg, train_ds, val_ds, args.output_dir,
+        img_size=args.input_size, seed=args.seed,
+        num_workers=args.num_workers, max_steps=args.max_steps,
+    )

@@ -1,0 +1,146 @@
+"""DeiT III supervised training entrypoint.
+
+Host loop mirroring the reference main (reference: deit/main.py:207-534):
+dataset + RASampler, sharded train step (mixup inside), per-epoch val
+eval, rotating + best checkpoints, json-lines log. Distillation/finetune
+pos-embed interpolation hooks exist in the utils; attn-only finetuning is
+a param-freeze mask.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Callable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from octic_vits_tpu.data.loaders import DataLoader
+from octic_vits_tpu.data.samplers import EpochSampler, RASampler
+from octic_vits_tpu.models import create_model
+from octic_vits_tpu.parallel import batch_sharding, create_mesh
+from octic_vits_tpu.train.common import TrainState, create_train_state
+from octic_vits_tpu.train.deit.engine import (
+    DeiTConfig,
+    build_optimizer,
+    make_deit_train_step,
+    make_eval_step,
+)
+from octic_vits_tpu.utils.checkpoint import CheckpointManager, PreemptionGuard
+from octic_vits_tpu.utils.logging import MetricLogger
+
+
+def evaluate(model, params, loader, eval_step=None, log_every: int = 50):
+    """Top-1/top-5/loss over a finite loader
+    (reference: deit/engine.py:99-128)."""
+    eval_step = eval_step or jax.jit(make_eval_step(model))
+    tot = {"top1": 0, "top5": 0, "n": 0, "loss_sum": 0.0}
+    for images, labels in loader:
+        out = eval_step(params, jnp.asarray(images), jnp.asarray(labels))
+        for k in tot:
+            tot[k] += float(out[k])
+    n = max(tot["n"], 1)
+    return {
+        "acc1": 100.0 * tot["top1"] / n,
+        "acc5": 100.0 * tot["top5"] / n,
+        "loss": tot["loss_sum"] / n,
+    }
+
+
+def train(
+    model_name: str,
+    cfg: DeiTConfig,
+    train_dataset,
+    val_dataset,
+    output_dir: str,
+    img_size: int = 224,
+    seed: int = 0,
+    model_kwargs: Optional[dict] = None,
+    num_workers: int = 8,
+    max_steps: Optional[int] = None,
+):
+    os.makedirs(output_dir, exist_ok=True)
+    model = create_model(
+        model_name,
+        img_size=img_size,
+        drop_path_rate=cfg.drop_path,
+        num_classes=cfg.num_classes,
+        **(model_kwargs or {}),
+    )
+    rng = jax.random.PRNGKey(seed)
+    sample = jnp.zeros((1, img_size, img_size, 3))
+    params = model.init(rng, sample)["params"]
+    tx = build_optimizer(cfg, params)
+    state = create_train_state(params, tx, ema=True)
+
+    mesh = create_mesh()
+    from octic_vits_tpu.train.common import state_shardings
+
+    state_sh = state_shardings(state, mesh)
+    state = jax.device_put(state, state_sh)
+    step = jax.jit(make_deit_train_step(model, cfg, tx), donate_argnums=(0,))
+    eval_step = jax.jit(make_eval_step(model))
+
+    ckpt = CheckpointManager(os.path.join(output_dir, "ckpt"), max_to_keep=2)
+    restored = ckpt.restore(jax.device_get(state))
+    if restored is not None:
+        state = jax.device_put(restored, state_sh)
+    guard = PreemptionGuard()
+    logger = MetricLogger(output_file=os.path.join(output_dir, "log.txt"))
+
+    n_hosts = jax.process_count()
+    sampler = RASampler(
+        len(train_dataset), shard=jax.process_index(), num_shards=n_hosts,
+        seed=seed,
+    )
+    local_bs = cfg.batch_size // n_hosts
+    best_acc = 0.0
+    start_epoch = int(state.step) // max(cfg.steps_per_epoch, 1)
+    data_sh = batch_sharding(mesh)
+
+    for epoch in range(start_epoch, cfg.epochs):
+        sampler.set_epoch(epoch)
+        loader = DataLoader(
+            train_dataset, sampler, batch_size=local_bs,
+            num_workers=num_workers,
+        )
+        for images, labels in logger.log_every(loader, 50, f"Epoch {epoch}"):
+            images = jax.device_put(jnp.asarray(images), data_sh)
+            labels = jax.device_put(jnp.asarray(labels), data_sh)
+            state, metrics = step(state, images, labels, rng)
+            logger.update(**{k: float(v) for k, v in metrics.items()})
+            if max_steps and int(state.step) >= max_steps:
+                break
+            if guard.preempted:
+                break
+
+        ckpt.save(int(state.step), jax.device_get(state), force=guard.preempted)
+        if guard.preempted:
+            ckpt.wait()
+            print("preempted; checkpoint saved", flush=True)
+            return state
+
+        if val_dataset is not None:
+            val_loader = DataLoader(
+                val_dataset, EpochSampler(len(val_dataset)),
+                batch_size=local_bs, num_workers=num_workers, drop_last=False,
+            )
+            stats = evaluate(model, state.params, val_loader, eval_step)
+            print(
+                f"* Acc@1 {stats['acc1']:.3f} Acc@5 {stats['acc5']:.3f} "
+                f"loss {stats['loss']:.3f}", flush=True,
+            )
+            with open(os.path.join(output_dir, "log.txt"), "a") as f:
+                f.write(json.dumps({"epoch": epoch, **stats}) + "\n")
+            if stats["acc1"] > best_acc:
+                best_acc = stats["acc1"]
+                ckpt.save(int(state.step), jax.device_get(state), force=True)
+        if max_steps and int(state.step) >= max_steps:
+            break
+
+    ckpt.wait()
+    return state
