@@ -1,0 +1,106 @@
+"""Segmentation probing, DINO head, and hub tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+def test_dino_head_shapes_and_norm():
+    from octic_vits_tpu.models.dino_head import DINOHead, WeightNormDense
+
+    head = DINOHead(out_dim=128, hidden_dim=32, bottleneck_dim=16)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 24))
+    params = head.init(jax.random.PRNGKey(1), x)
+    out = head.apply(params, x)
+    assert out.shape == (4, 128)
+
+    # weight-normed last layer: scaling g doubles the logits
+    wnd = WeightNormDense(8)
+    p = wnd.init(jax.random.PRNGKey(2), x)
+    base = wnd.apply(p, x)
+    p2 = jax.tree.map(lambda a: a, p)
+    p2 = {"params": {"v": p["params"]["v"], "g": 2.0 * p["params"]["g"]}}
+    np.testing.assert_allclose(
+        np.asarray(wnd.apply(p2, x)), 2 * np.asarray(base), rtol=1e-5
+    )
+    # and rescaling v does nothing (normalized away)
+    p3 = {"params": {"v": 3.0 * p["params"]["v"], "g": p["params"]["g"]}}
+    np.testing.assert_allclose(
+        np.asarray(wnd.apply(p3, x)), np.asarray(base), rtol=1e-4
+    )
+
+
+def test_downsample_labels_majority():
+    from octic_vits_tpu.eval.segmentation import downsample_labels
+
+    lab = np.zeros((8, 8), np.int32)
+    lab[:4, :4] = 2
+    lab[0, 0] = 255  # ignore doesn't change majority
+    out = downsample_labels(lab, patch_size=4, num_classes=3)
+    assert out.shape == (2, 2)
+    assert out[0, 0] == 2 and out[1, 1] == 0
+
+    all_ignore = np.full((4, 4), 255, np.int32)
+    out2 = downsample_labels(all_ignore, 4, 3)
+    assert out2[0, 0] == 255
+
+
+def test_seg_probes_separable_data():
+    from octic_vits_tpu.eval.segmentation import evaluate_seg_probes
+
+    rng = np.random.RandomState(0)
+    centers = rng.randn(3, 8) * 4
+    tr_f = np.concatenate([centers[i] + 0.1 * rng.randn(50, 8) for i in range(3)])
+    tr_y = np.repeat(np.arange(3), 50)
+    va_f = np.concatenate([centers[i] + 0.1 * rng.randn(10, 8) for i in range(3)])
+    va_y = np.repeat(np.arange(3), 10)
+    results = evaluate_seg_probes(
+        tr_f, tr_y, va_f, va_y, num_classes=3,
+        knn_grid=({"k": 8},), logreg_grid=({"C": 1.0},),
+    )
+    assert len(results) == 2
+    for r in results:
+        assert r.miou > 0.9, (r.probe, r.miou)
+
+
+def test_miou_confusion():
+    from octic_vits_tpu.eval.metrics import confusion_matrix, miou_from_confusion
+
+    pred = np.array([0, 0, 1, 1, 2])
+    targ = np.array([0, 1, 1, 1, 255])
+    cm = confusion_matrix(pred, targ, 3)
+    m = miou_from_confusion(cm)
+    # class0: inter 1, union 2 -> .5 ; class1: inter 2 union 3 -> .667; class2 nan
+    np.testing.assert_allclose(m["miou"], (0.5 + 2 / 3) / 2, atol=1e-6)
+
+
+def test_hub_entries_build():
+    from octic_vits_tpu.hub import HUB_ENTRIES, load_backbone
+
+    assert len(HUB_ENTRIES) == 8
+    model, params = load_backbone(
+        "hybrid_dinov2_vit_large_patch16", checkpoint=None, dtype=jnp.float32
+    )
+    assert params is None and model.embed_dim == 1024
+
+
+def test_seg_dataset_layouts(tmp_path):
+    from PIL import Image
+
+    from octic_vits_tpu.data.seg_datasets import make_seg_dataset
+
+    # fabricate a 2-image ADE20K layout
+    for sub in ["images/training", "annotations/training"]:
+        (tmp_path / sub).mkdir(parents=True)
+    for i in range(2):
+        Image.new("RGB", (32, 32), (100, 50, 0)).save(
+            tmp_path / "images/training" / f"img{i}.jpg"
+        )
+        Image.fromarray(
+            np.full((32, 32), i + 1, np.uint8)
+        ).save(tmp_path / "annotations/training" / f"img{i}.png")
+    ds = make_seg_dataset("ade20k", str(tmp_path), "train", image_size=16)
+    img, lab = ds[1]
+    assert img.shape == (16, 16, 3)
+    assert lab.shape == (16, 16) and lab.max() == 1  # class 2 -> index 1
