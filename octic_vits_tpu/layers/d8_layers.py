@@ -52,6 +52,8 @@ class LinearD8(nn.Module):
 
     features: int
     use_bias: bool = True
+    use_pallas: bool = False   # fused block-diagonal Pallas kernel
+    fuse_gelu: bool = False    # fold the octic GELU into the kernel epilogue
     dtype: Any = None
     param_dtype: Any = jnp.float32
     kernel_init: Callable = _trunc_normal(0.02)
@@ -67,6 +69,22 @@ class LinearD8(nn.Module):
         w1 = self.param("kernel_1d", self.kernel_init, (4, c8, f8), self.param_dtype)
         we = self.param("kernel_e", self.kernel_init, (2 * c8, 2 * f8), self.param_dtype)
         dtype = self.dtype or a1.dtype
+
+        if self.use_pallas:
+            from octic_vits_tpu.ops.pallas_linear import linear_d8_tuple
+
+            bias = (
+                self.param("bias_a1", nn.initializers.zeros, (f8,), self.param_dtype)
+                if self.use_bias
+                else None
+            )
+            xs_c = tuple(x.astype(dtype) for x in xs)
+            return linear_d8_tuple(
+                xs_c, w1.astype(dtype), we.astype(dtype),
+                None if bias is None else bias.astype(dtype),
+                fuse_gelu=self.fuse_gelu,
+            )
+
         w1 = w1.astype(dtype)
         we = we.astype(dtype)
 
@@ -226,6 +244,7 @@ class MlpD8(nn.Module):
     use_bias: bool = True
     drop: float = 0.0
     use_pallas_gelu: bool = False
+    use_pallas_linear: bool = False  # fused matmul(+GELU epilogue) kernels
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
@@ -234,9 +253,16 @@ class MlpD8(nn.Module):
         in_features = xs[0].shape[-1] * 8
         hidden = self.hidden_features or in_features
         out = self.out_features or in_features
-        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        xs = LinearD8(hidden, use_bias=self.use_bias, name="fc1", **common)(xs)
-        xs = GeluD8(use_pallas=self.use_pallas_gelu)(xs)
+        common = dict(
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            use_pallas=self.use_pallas_linear,
+        )
+        xs = LinearD8(
+            hidden, use_bias=self.use_bias, name="fc1",
+            fuse_gelu=self.use_pallas_linear, **common,
+        )(xs)
+        if not self.use_pallas_linear:
+            xs = GeluD8(use_pallas=self.use_pallas_gelu)(xs)
         xs = DropoutD8(self.drop)(xs, deterministic)
         xs = LinearD8(out, use_bias=self.use_bias, name="fc2", **common)(xs)
         xs = DropoutD8(self.drop)(xs, deterministic)
@@ -437,6 +463,7 @@ class AttentionD8(nn.Module):
     proj_bias: bool = True
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    use_pallas_linear: bool = False
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
@@ -450,7 +477,10 @@ class AttentionD8(nn.Module):
         d1 = c // (8 * h)   # per-head slice of each 1-dim irrep
         de = c // (4 * h)   # per-head slice of each E row
 
-        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        common = dict(
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            use_pallas=self.use_pallas_linear,
+        )
         qkvs = LinearD8(3 * c, use_bias=self.qkv_bias, name="qkv", **common)(xs)
 
         parts = [t.reshape(b, n, 3, h, d1) for t in qkvs[:4]]
@@ -496,6 +526,7 @@ class BlockD8(nn.Module):
     drop_path: float = 0.0
     layerscale_init: Optional[float] = None
     use_pallas_gelu: bool = False
+    use_pallas_linear: bool = False
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
@@ -520,6 +551,7 @@ class BlockD8(nn.Module):
             proj_bias=self.proj_bias,
             attn_drop=self.attn_drop,
             proj_drop=self.drop,
+            use_pallas_linear=self.use_pallas_linear,
             name="attn",
             **common,
         )(ys, deterministic)
@@ -533,6 +565,7 @@ class BlockD8(nn.Module):
             use_bias=self.ffn_bias,
             drop=self.drop,
             use_pallas_gelu=self.use_pallas_gelu,
+            use_pallas_linear=self.use_pallas_linear,
             name="mlp",
             **common,
         )(ys, deterministic)

@@ -58,6 +58,7 @@ class OcticVisionTransformer(nn.Module):
     scan_blocks: bool = False  # lax.scan trunk: ~depth-times faster compiles
     remat: bool = False        # per-block rematerialization (training memory)
     use_pallas_gelu: bool = False
+    use_pallas_linear: bool = False
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
@@ -128,6 +129,7 @@ class OcticVisionTransformer(nn.Module):
             drop_path=self.drop_path_rate,
             layerscale_init=self.init_scale,
             use_pallas_gelu=self.use_pallas_gelu,
+            use_pallas_linear=self.use_pallas_linear,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )

@@ -1,0 +1,224 @@
+"""Pallas TPU kernel: fused block-diagonal equivariant linear (LinearD8),
+optionally fused with the octic GELU.
+
+One kernel evaluates all five irrep blocks of an equivariant linear layer
+(the reference leaves five separate cuBLAS calls, octic_vits/
+d8_layers.py:104-127): per token tile it runs the four 1-dim-irrep GEMMs
+[TM,c]x[c,f] and the two E-row GEMMs [TM,2c]x[2c,2f] back-to-back from VMEM,
+adds the A1 bias, and (for MLP fc1) applies the fused
+isotypic->regular->GELU->isotypic butterfly before the single store — the
+hidden activations of the MLP never round-trip HBM in regular coordinates.
+
+Layouts (irrep-major so tiles are well-shaped for the MXU):
+  x1  [4, M, c]   stacked A1 A2 B1 B2        w1 [4, c, f]
+  xef [M, 4c]     flat E rows = E11|E12|E21|E22   we [2c, 2f]
+  y1  [4, M, f]   yef [M, 4f]
+
+Backward (custom VJP) recomputes the pre-activation in XLA (flash-style
+recompute: the fused-GELU path saves no hidden activations).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from octic_vits_tpu.d8.group import isotypic_to_regular, regular_to_isotypic
+from octic_vits_tpu.ops.pallas_gelu import _gelu_exact, _gelu_grad
+
+Array = jnp.ndarray
+
+
+def _apply_gelu_tiles(a1, a2, b1, b2, e11, e12, e21, e22):
+    reg = isotypic_to_regular((a1, a2, b1, b2, e11, e21, e12, e22))
+    act = tuple(_gelu_exact(u) for u in reg)
+    iso = regular_to_isotypic(act)
+    # back to (a1,a2,b1,b2,e11,e12,e21,e22) ordering
+    return iso[0], iso[1], iso[2], iso[3], iso[4], iso[6], iso[5], iso[7]
+
+
+def _kernel(x1, xef, w1, we, bias, y1, yef, *, fuse_gelu: bool, use_bias: bool):
+    dtype = y1.dtype
+    f = w1.shape[-1]
+    c = w1.shape[-2]
+    outs1 = []
+    for g in range(4):
+        acc = jax.lax.dot_general(
+            x1[g], w1[g],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        outs1.append(acc)
+    if use_bias:
+        outs1[0] = outs1[0] + bias[0].astype(jnp.float32)
+
+    row0 = jax.lax.dot_general(
+        xef[:, : 2 * c], we[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    row1 = jax.lax.dot_general(
+        xef[:, 2 * c :], we[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    e11, e12 = row0[:, :f], row0[:, f:]
+    e21, e22 = row1[:, :f], row1[:, f:]
+
+    if fuse_gelu:
+        a1, a2, b1, b2 = outs1
+        a1, a2, b1, b2, e11, e12, e21, e22 = _apply_gelu_tiles(
+            a1, a2, b1, b2, e11, e12, e21, e22
+        )
+        outs1 = [a1, a2, b1, b2]
+
+    for g in range(4):
+        y1[g] = outs1[g].astype(dtype)
+    yef[...] = jnp.concatenate((e11, e12, e21, e22), axis=-1).astype(dtype)
+
+
+def _row_tile(m: int, c: int, f: int, itemsize: int) -> int:
+    budget = 6 * 1024 * 1024
+    per_row = (8 * c + 8 * f) * itemsize  # in + out streams
+    tm = max(8, budget // max(per_row, 1))
+    return max(8, min((tm // 8) * 8, m, 2048))
+
+
+def _fwd_pallas(x1, xef, w1, we, bias, fuse_gelu, interpret):
+    m = x1.shape[1]
+    c = w1.shape[1]
+    f = w1.shape[2]
+    use_bias = bias is not None
+    if bias is None:
+        bias = jnp.zeros((1, f), x1.dtype)
+    else:
+        bias = bias.reshape(1, f)
+    tm = _row_tile(m, c, f, x1.dtype.itemsize)
+    grid = (pl.cdiv(m, tm),)
+    kern = functools.partial(_kernel, fuse_gelu=fuse_gelu, use_bias=use_bias)
+    y1, yef = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((4, tm, c), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 4 * c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, c, f), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * c, 2 * f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((4, tm, f), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 4 * f), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((4, m, f), x1.dtype),
+            jax.ShapeDtypeStruct((m, 4 * f), x1.dtype),
+        ),
+        interpret=interpret,
+    )(x1, xef, w1, we, bias)
+    return y1, yef
+
+
+def _eager_linear(x1, xef, w1, we, bias):
+    c = w1.shape[1]
+    y1 = jnp.einsum("gmc,gcf->gmf", x1.astype(jnp.float32), w1.astype(jnp.float32))
+    if bias is not None:
+        y1 = y1.at[0].add(bias.astype(jnp.float32))
+    row0 = xef[:, : 2 * c].astype(jnp.float32) @ we.astype(jnp.float32)
+    row1 = xef[:, 2 * c :].astype(jnp.float32) @ we.astype(jnp.float32)
+    return y1, row0, row1
+
+
+def _eager_ref(x1, xef, w1, we, bias, fuse_gelu):
+    """Eager oracle with identical semantics (used for tests + backward)."""
+    f = w1.shape[2]
+    y1, row0, row1 = _eager_linear(x1, xef, w1, we, bias)
+    e11, e12, e21, e22 = row0[:, :f], row0[:, f:], row1[:, :f], row1[:, f:]
+    if fuse_gelu:
+        a1, a2, b1, b2, e11, e12, e21, e22 = _apply_gelu_tiles(
+            y1[0], y1[1], y1[2], y1[3], e11, e12, e21, e22
+        )
+        y1 = jnp.stack((a1, a2, b1, b2))
+    yef = jnp.concatenate((e11, e12, e21, e22), axis=-1)
+    return y1.astype(x1.dtype), yef.astype(x1.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def linear_d8_fused(
+    x1: Array, xef: Array, w1: Array, we: Array, bias: Optional[Array],
+    fuse_gelu: bool = False, interpret: Optional[bool] = None,
+) -> Tuple[Array, Array]:
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _fwd_pallas(x1, xef, w1, we, bias, fuse_gelu, interpret)
+
+
+def _fwd_rule(x1, xef, w1, we, bias, fuse_gelu, interpret):
+    out = linear_d8_fused(x1, xef, w1, we, bias, fuse_gelu, interpret)
+    return out, (x1, xef, w1, we, bias)
+
+
+def _bwd_rule(fuse_gelu, interpret, res, cot):
+    x1, xef, w1, we, bias = res
+    g1, gef = cot
+    c = w1.shape[1]
+    f = w1.shape[2]
+    g1 = g1.astype(jnp.float32)
+    gef = gef.astype(jnp.float32)
+
+    if fuse_gelu:
+        # recompute pre-activation z, push cotangent through the octic GELU:
+        # dz = R(gelu'(S z) * (S g))
+        z1, row0, row1 = _eager_linear(x1, xef, w1, we, bias)
+        z = (z1[0], z1[1], z1[2], z1[3],
+             row0[:, :f], row1[:, :f], row0[:, f:], row1[:, f:])  # isotypic order
+        g = (g1[0], g1[1], g1[2], g1[3],
+             gef[:, :f], gef[:, 2 * f : 3 * f], gef[:, f : 2 * f], gef[:, 3 * f :])
+        u = isotypic_to_regular(z)
+        v = isotypic_to_regular(g)
+        d = regular_to_isotypic(tuple(_gelu_grad(ui) * vi for ui, vi in zip(u, v)))
+        g1 = jnp.stack(d[:4])
+        # back to flat-E layout E11|E12|E21|E22
+        gef = jnp.concatenate((d[4], d[6], d[5], d[7]), axis=-1)
+
+    x1f = x1.astype(jnp.float32)
+    dx1 = jnp.einsum("gmf,gcf->gmc", g1, w1.astype(jnp.float32))
+    dw1 = jnp.einsum("gmc,gmf->gcf", x1f, g1)
+    grow0, grow1 = gef[:, : 2 * f], gef[:, 2 * f :]
+    wef = we.astype(jnp.float32)
+    dxef = jnp.concatenate((grow0 @ wef.T, grow1 @ wef.T), axis=-1)
+    xef_f = xef.astype(jnp.float32)
+    dwe = xef_f[:, : 2 * c].T @ grow0 + xef_f[:, 2 * c :].T @ grow1
+    dbias = None if bias is None else jnp.sum(g1[0], axis=0).astype(bias.dtype)
+    return (
+        dx1.astype(x1.dtype),
+        dxef.astype(xef.dtype),
+        dw1.astype(w1.dtype),
+        dwe.astype(we.dtype),
+        dbias,
+    )
+
+
+linear_d8_fused.defvjp(_fwd_rule, _bwd_rule)
+
+
+def linear_d8_tuple(xs, w1, we, bias, fuse_gelu=False, interpret=None):
+    """5-tuple wrapper: (a1,a2,b1,b2,e[...,2,2c]) -> 5-tuple of width f."""
+    a1 = xs[0]
+    lead = a1.shape[:-1]
+    m = 1
+    for d in lead:
+        m *= d
+    c = a1.shape[-1]
+    f = w1.shape[-1]
+    x1 = jnp.stack([x.reshape(m, c) for x in xs[:4]])
+    xef = xs[4].reshape(m, 4 * c)
+    y1, yef = linear_d8_fused(x1, xef, w1, we, bias, fuse_gelu, interpret)
+    outs = tuple(y1[g].reshape(*lead, f) for g in range(4))
+    e = yef.reshape(*lead, 2, 2 * f)
+    return outs + (e,)

@@ -1,0 +1,103 @@
+"""Fused block-diagonal LinearD8 Pallas kernel vs eager oracle
+(interpret mode on CPU): forward, fused-GELU forward, gradients, and
+equivalence with the LinearD8 flax layer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from octic_vits_tpu.d8 import pack_8_to_5
+from octic_vits_tpu.ops.pallas_linear import (
+    _eager_ref,
+    linear_d8_fused,
+    linear_d8_tuple,
+)
+
+
+def make_inputs(m=24, c=16, f=24, seed=0, bias=True):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 5)
+    x1 = jax.random.normal(ks[0], (4, m, c))
+    xef = jax.random.normal(ks[1], (m, 4 * c))
+    w1 = jax.random.normal(ks[2], (4, c, f)) * 0.1
+    we = jax.random.normal(ks[3], (2 * c, 2 * f)) * 0.1
+    b = jax.random.normal(ks[4], (f,)) if bias else None
+    return x1, xef, w1, we, b
+
+
+def test_forward_matches_eager():
+    x1, xef, w1, we, b = make_inputs()
+    for fuse in (False, True):
+        y1, yef = linear_d8_fused(x1, xef, w1, we, b, fuse, True)
+        r1, ref = _eager_ref(x1, xef, w1, we, b, fuse)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(r1), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(yef), np.asarray(ref), atol=2e-5)
+
+
+def test_forward_no_bias():
+    x1, xef, w1, we, _ = make_inputs(bias=False)
+    y1, yef = linear_d8_fused(x1, xef, w1, we, None, False, True)
+    r1, ref = _eager_ref(x1, xef, w1, we, None, False)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(r1), atol=2e-5)
+
+
+def test_gradients_match_eager():
+    x1, xef, w1, we, b = make_inputs(m=16, c=8, f=8)
+    for fuse in (False, True):
+        def loss_k(args):
+            y1, yef = linear_d8_fused(*args, fuse, True)
+            return jnp.sum(y1**2) + jnp.sum(jnp.sin(yef))
+
+        def loss_e(args):
+            y1, yef = _eager_ref(*args, fuse)
+            return jnp.sum(y1**2) + jnp.sum(jnp.sin(yef))
+
+        gk = jax.grad(loss_k)((x1, xef, w1, we, b))
+        ge = jax.grad(loss_e)((x1, xef, w1, we, b))
+        for i, (a, e) in enumerate(zip(gk, ge)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(e), atol=1e-4,
+                err_msg=f"fuse={fuse} arg={i}",
+            )
+
+
+def test_tuple_wrapper_matches_flax_layer():
+    from octic_vits_tpu.layers.d8_layers import LinearD8
+
+    b, n, c8 = 2, 6, 8
+    feats = 48
+    xs8 = tuple(
+        jax.random.normal(jax.random.PRNGKey(10 + i), (b, n, c8)) for i in range(8)
+    )
+    xs = pack_8_to_5(xs8)
+    layer = LinearD8(features=feats)
+    params = layer.init(jax.random.PRNGKey(0), xs)["params"]
+    ref = layer.apply({"params": params}, xs)
+    out = linear_d8_tuple(
+        xs, params["kernel_1d"], params["kernel_e"], params["bias_a1"],
+        fuse_gelu=False, interpret=True,
+    )
+    for i in range(5):
+        np.testing.assert_allclose(
+            np.asarray(out[i]), np.asarray(ref[i]), atol=2e-5, err_msg=f"slot {i}"
+        )
+
+
+def test_tuple_wrapper_fused_gelu_matches_layer_chain():
+    from octic_vits_tpu.layers.d8_layers import LinearD8
+    from octic_vits_tpu.ops.gelu_d8 import gelu_d8_eager
+
+    b, n, c8 = 2, 5, 8
+    xs = pack_8_to_5(tuple(
+        jax.random.normal(jax.random.PRNGKey(20 + i), (b, n, c8)) for i in range(8)
+    ))
+    layer = LinearD8(features=32)
+    params = layer.init(jax.random.PRNGKey(1), xs)["params"]
+    ref = gelu_d8_eager(layer.apply({"params": params}, xs))
+    out = linear_d8_tuple(
+        xs, params["kernel_1d"], params["kernel_e"], params["bias_a1"],
+        fuse_gelu=True, interpret=True,
+    )
+    for i in range(5):
+        np.testing.assert_allclose(
+            np.asarray(out[i]), np.asarray(ref[i]), atol=1e-5, err_msg=f"slot {i}"
+        )
