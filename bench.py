@@ -35,15 +35,17 @@ WARMUP = 10
 ITERS = 100
 
 
-def _throughput(apply_fn, images) -> float:
-    out = apply_fn(images)
+def _throughput(apply_fn, params, images) -> float:
+    # params are jit ARGUMENTS, never closure constants: capturing them
+    # would embed the whole tree in the HLO (a giant device->host fetch).
+    out = apply_fn(params, images)
     jax.block_until_ready(out)
     for _ in range(WARMUP - 1):
-        out = apply_fn(images)
+        out = apply_fn(params, images)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        out = apply_fn(images)
+        out = apply_fn(params, images)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     return BATCH * ITERS / dt
@@ -52,8 +54,8 @@ def _throughput(apply_fn, images) -> float:
 def bench_model(model) -> float:
     images = jnp.zeros((BATCH, IMG, IMG, 3), jnp.bfloat16)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), images)
-    fn = jax.jit(lambda x: model.apply(params, x))
-    return _throughput(fn, images)
+    fn = jax.jit(model.apply)
+    return _throughput(fn, params, images)
 
 
 def main():

@@ -211,6 +211,96 @@ class Block(nn.Module):
         return x + y
 
 
+class HMLPStem(nn.Module):
+    """hMLP stem: 3-stage patchify-MLP with norms (reference:
+    deit/vit.py:227-254 — 4x4, 2x2, 2x2 strided convs == staged patchify
+    matmuls), ending at patch_size=16 tokens."""
+
+    embed_dim: int = 768
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        from octic_vits_tpu.layers.d8_layers import _patchify
+
+        b = x.shape[0]
+        dims = (self.embed_dim // 4, self.embed_dim // 4, self.embed_dim)
+        strides = (4, 2, 2)
+        for i, (d, s) in enumerate(zip(dims, strides)):
+            bb, h, w, c = x.shape
+            patches = _patchify(x, s)
+            x = nn.Dense(
+                d, dtype=self.dtype, param_dtype=self.param_dtype,
+                kernel_init=_trunc_normal(0.02), name=f"proj{i}",
+            )(patches)
+            x = nn.LayerNorm(
+                epsilon=1e-6, param_dtype=self.param_dtype, name=f"norm{i}"
+            )(x)
+            if i < 2:
+                x = jax.nn.gelu(x, approximate=False)
+            x = x.reshape(b, h // s, w // s, d)
+        return x.reshape(b, -1, self.embed_dim)
+
+
+class ParallelBlockx2(nn.Module):
+    """DeiT III parallel-branch block: two attention branches then two MLP
+    branches added to the residual stream
+    (reference: deit/vit.py:136-224, Layer_scale_init_Block_paralx2)."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = False
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    layerscale_init: float = 1e-4
+    dtype: Any = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        dim = x.shape[-1]
+
+        def branch(tag):
+            y = nn.LayerNorm(
+                epsilon=1e-6, param_dtype=self.param_dtype, name=f"norm1_{tag}"
+            )(x)
+            y = Attention(
+                num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+                attn_drop=self.attn_drop, proj_drop=self.drop,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name=f"attn_{tag}",
+            )(y, deterministic)
+            gamma = self.param(
+                f"gamma_1_{tag}", nn.initializers.constant(self.layerscale_init),
+                (dim,), self.param_dtype,
+            )
+            return gamma.astype(y.dtype) * y
+
+        x = x + DropPath(self.drop_path, name="dp_a1")(branch("a"), deterministic) \
+              + DropPath(self.drop_path, name="dp_a2")(branch("b"), deterministic)
+
+        def mlp_branch(tag, z):
+            y = nn.LayerNorm(
+                epsilon=1e-6, param_dtype=self.param_dtype, name=f"norm2_{tag}"
+            )(z)
+            y = Mlp(
+                hidden_features=int(dim * self.mlp_ratio), drop=self.drop,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name=f"mlp_{tag}",
+            )(y, deterministic)
+            gamma = self.param(
+                f"gamma_2_{tag}", nn.initializers.constant(self.layerscale_init),
+                (dim,), self.param_dtype,
+            )
+            return gamma.astype(y.dtype) * y
+
+        return x + DropPath(self.drop_path, name="dp_m1")(
+            mlp_branch("a", x), deterministic
+        ) + DropPath(self.drop_path, name="dp_m2")(mlp_branch("b", x), deterministic)
+
+
 class PatchEmbed(nn.Module):
     """Standard patch embed as patchify + matmul (stride == kernel)."""
 

@@ -40,14 +40,14 @@ MODELS = {
 def throughput(model, batch, iters=100, warmup=10):
     images = jnp.zeros((batch, 224, 224, 3), jnp.bfloat16)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), images)
-    fn = jax.jit(lambda x: model.apply(params, x))
-    jax.block_until_ready(fn(images))
+    fn = jax.jit(model.apply)  # params as args, never closure constants
+    jax.block_until_ready(fn(params, images))
     for _ in range(warmup - 1):
-        out = fn(images)
+        out = fn(params, images)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(images)
+        out = fn(params, images)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))

@@ -18,7 +18,7 @@ from octic_vits_tpu.models import OcticVisionTransformer, VisionTransformer
 t0 = time.time()
 x = jnp.zeros((8, 128), jnp.bfloat16)
 w = jnp.zeros((128, 128), jnp.bfloat16)
-jax.block_until_ready(jax.jit(lambda x: x @ w)(x))
+jax.block_until_ready(jax.jit(lambda a, b: a @ b)(x, w))
 print("warmup %.1fs" % (time.time() - t0), flush=True)
 
 
@@ -33,14 +33,14 @@ def stage(name, cls=OcticVisionTransformer, **kw):
     params = jax.jit(m.init)(jax.random.PRNGKey(0), img)
     jax.block_until_ready(params)
     print(name, "init %.1fs" % (time.time() - t0), flush=True)
-    f = jax.jit(lambda xx: m.apply(params, xx))
+    f = jax.jit(m.apply)
     t0 = time.time()
-    jax.block_until_ready(f(img))
+    jax.block_until_ready(f(params, img))
     print(name, "fwd compile %.1fs" % (time.time() - t0), flush=True)
     ts = []
     for _ in range(20):
         t0 = time.time()
-        jax.block_until_ready(f(img))
+        jax.block_until_ready(f(params, img))
         ts.append(time.time() - t0)
     p50 = float(np.median(ts))
     print(

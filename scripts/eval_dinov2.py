@@ -53,9 +53,8 @@ def main():
         raise SystemExit("--checkpoint required (random weights are pointless here)")
 
     if args.mode == "knn":
-        fwd = jax.jit(
-            lambda x: model.apply({"params": params}, jnp.asarray(x))
-        )  # returns x_norm_clstoken
+        fwd_jit = jax.jit(lambda v, x: model.apply(v, x))
+        fwd = lambda x: fwd_jit({"params": params}, jnp.asarray(x))
         tr_f, tr_y = extract_features(fwd, feature_loader(args.train_data, args.batch, args.workers))
         va_f, va_y = extract_features(fwd, feature_loader(args.val_data, args.batch, args.workers))
         res = evaluate_knn(
@@ -68,12 +67,14 @@ def main():
         n_last = 4
 
         @jax.jit
-        def feats_fn(x):
-            outs = model.apply(
-                {"params": params}, jnp.asarray(x), n_last,
-                True, True, method=model.get_intermediate_layers,
+        def _feats(v, x):
+            return model.apply(
+                v, x, n_last, True, True,
+                method=model.get_intermediate_layers,
             )
-            return outs  # tuple of (patch_tokens, cls)
+
+        def feats_fn(x):
+            return _feats({"params": params}, jnp.asarray(x))
 
         res = train_and_eval_linear_probes(
             lambda x: list(feats_fn(x)),

@@ -38,12 +38,12 @@ def main():
     patch = model.patch_size
 
     @jax.jit
-    def patch_feats(x):
-        ret = model.apply(
-            {"params": params}, jnp.asarray(x), None, True,
-            method=model.forward_features,
-        )
+    def _feats(v, x):
+        ret = model.apply(v, x, None, True, method=model.forward_features)
         return ret["x_norm_patchtokens"]
+
+    def patch_feats(x):
+        return _feats({"params": params}, jnp.asarray(x))
 
     train_ds = make_seg_dataset(args.dataset, args.root, "train", args.image_size)
     val_ds = make_seg_dataset(args.dataset, args.root, "val", args.image_size)
