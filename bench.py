@@ -2,10 +2,15 @@
 
 Protocol mirrors the reference complexity benchmark
 (reference: experiments/complexity.py:13-56, README.md:260-264):
-batch 64 @ 224^2, half precision (bf16 on TPU vs fp16 AMP on A100),
-100 timed iters after 10 warmup. We additionally time the standard ViT-H
-baseline and report the speedup ratio — the north-star metric is
->= 1.5x images/sec/chip for hybrid vs standard ViT-H (BASELINE.json).
+batch 64 @ 224^2, half precision (bf16 on TPU vs fp16 AMP on A100).
+Timing runs the forward K times inside one on-device `lax.fori_loop`
+dispatch (utils/benchlib.py) because per-dispatch relay latency would
+otherwise dominate; the standard ViT-H baseline is measured with the same
+protocol and the speedup ratio reported as `vs_baseline` (north star:
+>= 1.5x, BASELINE.json).
+
+Robustness: the device tunnel occasionally wedges on host fetches, so each
+measurement runs in a subprocess with a timeout and is retried.
 
 Prints ONE json line:
   {"metric": "hybrid_vith14_images_per_sec_per_chip", "value": N,
@@ -16,73 +21,69 @@ from __future__ import annotations
 
 import json
 import os
-import time
-
-import jax
-import jax.numpy as jnp
-
-# persistent compile cache: the axon remote-compile warmup dominates
-# first-run latency; cached executables make reruns immediate
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import subprocess
+import sys
 
 BATCH = 64
 IMG = 224
-WARMUP = 10
-ITERS = 100
+CACHE = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 
-def _throughput(apply_fn, params, images) -> float:
-    # params are jit ARGUMENTS, never closure constants: capturing them
-    # would embed the whole tree in the HLO (a giant device->host fetch).
-    out = apply_fn(params, images)
-    jax.block_until_ready(out)
-    for _ in range(WARMUP - 1):
-        out = apply_fn(params, images)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = apply_fn(params, images)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    return BATCH * ITERS / dt
+def _child(which: str) -> None:
+    import jax
+    import jax.numpy as jnp
 
+    jax.config.update("jax_compilation_cache_dir", CACHE)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-def bench_model(model) -> float:
+    from octic_vits_tpu.models import OcticVisionTransformer, VisionTransformer
+    from octic_vits_tpu.utils.benchlib import measure_steps
+
+    common = dict(
+        img_size=IMG, patch_size=14, embed_dim=1280, depth=32, num_heads=16,
+        mlp_ratio=4.0, qkv_bias=True, num_classes=1000, dtype=jnp.bfloat16,
+        scan_blocks=True,
+    )
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if which == "hybrid":
+        model = OcticVisionTransformer(use_pallas_gelu=on_tpu, **common)
+    else:
+        model = VisionTransformer(
+            **{k: v for k, v in common.items() if k not in ()}
+        )
     images = jnp.zeros((BATCH, IMG, IMG, 3), jnp.bfloat16)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), images)
-    fn = jax.jit(model.apply)
-    return _throughput(fn, params, images)
+    step = measure_steps(model.apply, params, images)
+    print(f"RESULT {BATCH / step:.4f}", flush=True)
+
+
+def _run_child(which: str, timeout: int = 900, retries: int = 3) -> float:
+    env = dict(os.environ)
+    for attempt in range(retries):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child", which],
+                capture_output=True, text=True, timeout=timeout, env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            for line in proc.stdout.splitlines():
+                if line.startswith("RESULT "):
+                    return float(line.split()[1])
+            sys.stderr.write(
+                f"[bench] child {which} attempt {attempt}: no RESULT\n"
+                + proc.stdout[-2000:] + proc.stderr[-2000:] + "\n"
+            )
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(f"[bench] child {which} attempt {attempt}: timeout\n")
+    raise RuntimeError(f"benchmark child '{which}' failed after {retries} tries")
 
 
 def main():
-    from octic_vits_tpu.models import OcticVisionTransformer, VisionTransformer
-
-    use_pallas = True
-    try:
-        from octic_vits_tpu.ops.pallas_gelu import gelu_d8_pallas  # noqa: F401
-    except Exception:
-        use_pallas = False
-
-    # scan_blocks: identical math, ~depth-times faster XLA compiles
-    hybrid = OcticVisionTransformer(
-        img_size=IMG, patch_size=14, embed_dim=1280, depth=32, num_heads=16,
-        mlp_ratio=4.0, qkv_bias=True, num_classes=1000, dtype=jnp.bfloat16,
-        scan_blocks=True,
-        use_pallas_gelu=use_pallas and jax.default_backend() != "cpu",
-    )
-    standard = VisionTransformer(
-        img_size=IMG, patch_size=14, embed_dim=1280, depth=32, num_heads=16,
-        mlp_ratio=4.0, qkv_bias=True, num_classes=1000, dtype=jnp.bfloat16,
-        scan_blocks=True,
-    )
-
-    hybrid_ips = bench_model(hybrid)
-    standard_ips = bench_model(standard)
-
+    if len(sys.argv) > 2 and sys.argv[1] == "--child":
+        _child(sys.argv[2])
+        return
+    hybrid_ips = _run_child("hybrid")
+    standard_ips = _run_child("standard")
     print(
         json.dumps(
             {

@@ -273,6 +273,27 @@ class CanonizationInvariant(nn.Module):
         return out
 
 
+class InvariantHead(nn.Module):
+    """Projection head for FULLY octic networks: (LN?) -> Linear -> GELU ->
+    Linear to logits (reference: d8_invariantization.py:20-28,
+    invariant_head_factory)."""
+
+    hidden_dim: int
+    num_classes: int
+    use_norm: bool = False
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        if self.use_norm:
+            x = nn.LayerNorm(epsilon=1e-6, param_dtype=self.param_dtype)(x)
+        x = nn.Dense(self.hidden_dim, param_dtype=self.param_dtype)(x)
+        x = jax.nn.gelu(x, approximate=False)
+        if self.num_classes > 0:
+            x = nn.Dense(self.num_classes, param_dtype=self.param_dtype)(x)
+        return x
+
+
 INVARIANTS = {
     "power_spectrum": PowerSpectrumInvariant,
     "non_invariant": NonInvariant,

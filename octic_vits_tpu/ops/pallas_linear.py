@@ -83,10 +83,12 @@ def _kernel(x1, xef, w1, we, bias, y1, yef, *, fuse_gelu: bool, use_bias: bool):
 
 
 def _row_tile(m: int, c: int, f: int, itemsize: int) -> int:
-    budget = 6 * 1024 * 1024
-    per_row = (8 * c + 8 * f) * itemsize  # in + out streams
+    # Pallas double-buffers activation blocks; weights (4cf + 4cf values)
+    # are resident. Stay well under the ~16MB VMEM scoped limit.
+    budget = 2 * 1024 * 1024
+    per_row = (8 * c + 8 * f) * itemsize  # in + out streams per token row
     tm = max(8, budget // max(per_row, 1))
-    return max(8, min((tm // 8) * 8, m, 2048))
+    return max(8, min((tm // 8) * 8, m, 1024))
 
 
 def _fwd_pallas(x1, xef, w1, we, bias, fuse_gelu, interpret):

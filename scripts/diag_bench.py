@@ -34,17 +34,34 @@ def stage(name, cls=OcticVisionTransformer, **kw):
     jax.block_until_ready(params)
     print(name, "init %.1fs" % (time.time() - t0), flush=True)
     f = jax.jit(m.apply)
+
+    def drain(o):
+        return float(np.asarray(jax.device_get(o[0, 0])))
+
     t0 = time.time()
-    jax.block_until_ready(f(params, img))
+    drain(f(params, img))
     print(name, "fwd compile %.1fs" % (time.time() - t0), flush=True)
-    ts = []
-    for _ in range(20):
+
+    def chained(k):
+        """k calls with a data dependency between consecutive steps, one
+        drain at the end — measures true sequential step time."""
+        x = img
         t0 = time.time()
-        jax.block_until_ready(f(params, img))
-        ts.append(time.time() - t0)
-    p50 = float(np.median(ts))
+        out = None
+        for _ in range(k):
+            out = f(params, x)
+            x = img + (out[0, 0] * 0).astype(img.dtype)
+        drain(out)
+        return time.time() - t0
+
+    chained(2)  # compile the chained variant (input is now a traced add)
+    t1 = min(chained(1) for _ in range(3))
+    tk = min(chained(9) for _ in range(3))
+    step = (tk - t1) / 8
     print(
-        name, "steady p50 %.1f ms -> %.1f img/s" % (p50 * 1e3, 64 / p50),
+        name,
+        "steady %.1f ms/step -> %.1f img/s (1-call %.1f ms incl fetch)"
+        % (step * 1e3, 64 / step, t1 * 1e3),
         flush=True,
     )
 
