@@ -90,6 +90,16 @@ class ImageNetExtra:
         return out, int(target)
 
 
+class ImageNet22k(ImageNetExtra):
+    """IN22k with the same precomputed-entries metadata format
+    (reference: dinov2/data/datasets/image_net_22k.py). The reference's
+    22k-specific machinery (tarball block reads) is storage-layout specific;
+    here both 1k and 22k consume `{split}_entries.npy` + an image root."""
+
+    def __init__(self, root: str, extra: str, transform: Optional[Callable] = None):
+        super().__init__(root, extra, split="ALL", transform=transform)
+
+
 class DatasetWithEnumeratedTargets:
     """(image, (index, target)) wrapper for order-independent distributed
     feature extraction (reference: dinov2/data/adapters.py:11-28)."""

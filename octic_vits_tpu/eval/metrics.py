@@ -21,6 +21,24 @@ def topk_accuracy(logits, labels, ks: Sequence[int] = (1, 5)) -> Dict[str, float
     return out
 
 
+def real_labels_accuracy(
+    logits, real_labels: Sequence[Sequence[int]], k: int = 1
+) -> float:
+    """ImageNet-ReaL accuracy: a prediction is correct if it is in the
+    sample's set of re-assessed labels; samples with empty label sets are
+    skipped (reference: dinov2/eval/metrics.py ImageNetReaLAccuracy)."""
+    logits = np.asarray(logits)
+    order = np.argsort(-logits, axis=-1)[:, :k]
+    hits, total = 0, 0
+    for preds, labels in zip(order, real_labels):
+        if not len(labels):
+            continue
+        total += 1
+        if any(p in labels for p in preds):
+            hits += 1
+    return hits / max(total, 1)
+
+
 def confusion_matrix(pred: np.ndarray, target: np.ndarray, num_classes: int,
                      ignore_index: int = 255) -> np.ndarray:
     valid = target != ignore_index
