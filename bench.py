@@ -57,7 +57,8 @@ def _child(which: str) -> None:
     print(f"RESULT {BATCH / step:.4f}", flush=True)
 
 
-def _run_child(which: str, timeout: int = 900, retries: int = 3) -> float:
+def _run_child(which: str, timeout: int = 1800, retries: int = 3) -> float:
+    # the device tunnel can stall 10-20 min before recovering; budget for it
     env = dict(os.environ)
     for attempt in range(retries):
         try:

@@ -463,7 +463,6 @@ class AttentionD8(nn.Module):
     proj_bias: bool = True
     attn_drop: float = 0.0
     proj_drop: float = 0.0
-    use_pallas_linear: bool = False
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
@@ -477,30 +476,52 @@ class AttentionD8(nn.Module):
         d1 = c // (8 * h)   # per-head slice of each 1-dim irrep
         de = c // (4 * h)   # per-head slice of each E row
 
-        common = dict(
-            dtype=self.dtype, param_dtype=self.param_dtype,
-            use_pallas=self.use_pallas_linear,
-        )
+        # XLA's batched dot_general already runs the qkv/proj LinearD8 at
+        # ~MXU peak here (profiled); the fused Pallas kernel only pays in
+        # the MLP where the GELU epilogue folds in.
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         qkvs = LinearD8(3 * c, use_bias=self.qkv_bias, name="qkv", **common)(xs)
 
-        parts = [t.reshape(b, n, 3, h, d1) for t in qkvs[:4]]
-        e_part = qkvs[4].reshape(b, n, 2, 3, h, de)
-        e_part = e_part.transpose(0, 1, 3, 4, 2, 5).reshape(b, n, 3, h, 2 * de)
-        qkv = jnp.concatenate(parts + [e_part], axis=-1)  # [B,N,3,H,dh]
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B,N,H,dh] (BTNH)
+        # TPU-native attention: NEVER build the per-head interleaved
+        # [B,N,H,dh] layout (a 20-float-granularity shuffle). Scores are the
+        # sum of per-irrep-group contributions, so contract (irrep, chan)
+        # directly with the head as a batch axis; outputs land in native
+        # tuple layout. Head channel assignment — and hence the math — is
+        # IDENTICAL to the reference interleave
+        # (reference: octic_vits/d8_layers.py:623-656).
+        ones_qkv = jnp.stack(
+            [t.reshape(b, n, 3, h, d1) for t in qkvs[:4]], axis=3
+        )  # [B,N,3,4,H,d1]
+        e_qkv = qkvs[4].reshape(b, n, 2, 3, h, de)  # [B,N,2(row),3,H,de]
 
+        q1, k1, v1 = (ones_qkv[:, :, i] for i in range(3))  # [B,N,4,H,d1]
+        qe, ke, ve = (e_qkv[:, :, :, i] for i in range(3))  # [B,N,2,H,de]
+
+        scale = (c // h) ** -0.5
+        f32 = jnp.float32
+        logits = jax.lax.dot_general(
+            q1, k1,
+            dimension_numbers=(((2, 4), (2, 4)), ((0, 3), (0, 3))),
+            preferred_element_type=f32,
+        )  # batch (b,h), contract (irrep, d1) -> [B,H,Nq,Nk]
+        logits = logits + jax.lax.dot_general(
+            qe, ke,
+            dimension_numbers=(((2, 4), (2, 4)), ((0, 3), (0, 3))),
+            preferred_element_type=f32,
+        )
+        logits = logits * scale
+        probs = jax.nn.softmax(logits, axis=-1)
         if self.attn_drop > 0.0 and not deterministic:
-            scale = (c // h) ** -0.5
-            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
-            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
             probs = nn.Dropout(rate=self.attn_drop, deterministic=False)(probs)
-            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
-        else:
-            out = jax.nn.dot_product_attention(q, k, v)
+        probs = probs.astype(v1.dtype)
 
-        x1, x2 = jnp.split(out, 2, axis=-1)
-        outs1 = tuple(t.reshape(b, n, c8) for t in jnp.split(x1, 4, axis=-1))
-        xe = x2.reshape(b, n, h, 2, de).transpose(0, 1, 3, 2, 4).reshape(b, n, 2, c // 4)
+        # out1[b,q,g,h,d] = sum_k probs[b,h,q,k] v1[b,k,g,h,d]
+        out1 = jnp.einsum("bhqk,bkghd->bqghd", probs, v1)
+        oute = jnp.einsum("bhqk,bkrhd->bqrhd", probs, ve)
+        outs1 = tuple(
+            out1[:, :, g].reshape(b, n, c8) for g in range(4)
+        )
+        xe = oute.reshape(b, n, 2, c // 4)
 
         ys = LinearD8(c, use_bias=self.proj_bias, name="proj", **common)(outs1 + (xe,))
         ys = DropoutD8(self.proj_drop)(ys, deterministic)
@@ -551,7 +572,6 @@ class BlockD8(nn.Module):
             proj_bias=self.proj_bias,
             attn_drop=self.attn_drop,
             proj_drop=self.drop,
-            use_pallas_linear=self.use_pallas_linear,
             name="attn",
             **common,
         )(ys, deterministic)

@@ -103,14 +103,16 @@ class Attention(nn.Module):
         )
         qkv = dense(3 * c, self.qkv_bias, "qkv")(x).reshape(b, n, 3, h, c // h)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # BTNH
+        # einsum attention with fp32 softmax measures faster than
+        # jax.nn.dot_product_attention on v5e at ViT sequence lengths
+        scale = (c // h) ** -0.5
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        probs = jax.nn.softmax(logits, axis=-1)
         if self.attn_drop > 0.0 and not deterministic:
-            scale = (c // h) ** -0.5
-            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
-            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
             probs = nn.Dropout(rate=self.attn_drop, deterministic=False)(probs)
-            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
-        else:
-            out = jax.nn.dot_product_attention(q, k, v)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype), v)
         out = out.reshape(b, n, c)
         out = dense(c, self.proj_bias, "proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic)
