@@ -38,6 +38,8 @@ class RASampler:
         self.num_selected_samples = int(
             np.floor(dataset_len // 256 * 256 / num_shards)
         )
+        if self.num_selected_samples == 0:  # tiny datasets (tests)
+            self.num_selected_samples = self.num_samples
         self.epoch = 0
 
     def set_epoch(self, epoch: int):

@@ -463,6 +463,7 @@ class AttentionD8(nn.Module):
     proj_bias: bool = True
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    use_pallas_attention: bool = False  # fused per-(b,h) VMEM attention
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
@@ -481,6 +482,20 @@ class AttentionD8(nn.Module):
         # the MLP where the GELU epilogue folds in.
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         qkvs = LinearD8(3 * c, use_bias=self.qkv_bias, name="qkv", **common)(xs)
+
+        if self.use_pallas_attention and not (
+            self.attn_drop > 0.0 and not deterministic
+        ):
+            from octic_vits_tpu.ops.pallas_attention import octic_attention
+
+            ef = qkvs[4].reshape(b, n, 2 * 3 * (c // 4))
+            o1, o2, o3, o4, oef = octic_attention(
+                qkvs[0], qkvs[1], qkvs[2], qkvs[3], ef, h
+            )
+            ys = LinearD8(c, use_bias=self.proj_bias, name="proj", **common)(
+                (o1, o2, o3, o4, oef.reshape(b, n, 2, c // 4))
+            )
+            return DropoutD8(self.proj_drop)(ys, deterministic)
 
         # TPU-native attention: NEVER build the per-head interleaved
         # [B,N,H,dh] layout (a 20-float-granularity shuffle). Scores are the
@@ -548,6 +563,7 @@ class BlockD8(nn.Module):
     layerscale_init: Optional[float] = None
     use_pallas_gelu: bool = False
     use_pallas_linear: bool = False
+    use_pallas_attention: bool = False
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
@@ -572,6 +588,7 @@ class BlockD8(nn.Module):
             proj_bias=self.proj_bias,
             attn_drop=self.attn_drop,
             proj_drop=self.drop,
+            use_pallas_attention=self.use_pallas_attention,
             name="attn",
             **common,
         )(ys, deterministic)

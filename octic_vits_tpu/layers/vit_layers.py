@@ -86,6 +86,7 @@ class Attention(nn.Module):
     proj_bias: bool = True
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    use_pallas_attention: bool = False
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
@@ -101,6 +102,16 @@ class Attention(nn.Module):
             kernel_init=_trunc_normal(0.02),
             name=name,
         )
+        if self.use_pallas_attention and not (
+            self.attn_drop > 0.0 and not deterministic
+        ):
+            from octic_vits_tpu.ops.pallas_attention import standard_attention
+
+            qkv_flat = dense(3 * c, self.qkv_bias, "qkv")(x)
+            out = standard_attention(qkv_flat, h)
+            out = dense(c, self.proj_bias, "proj")(out)
+            return nn.Dropout(self.proj_drop)(out, deterministic)
+
         qkv = dense(3 * c, self.qkv_bias, "qkv")(x).reshape(b, n, 3, h, c // h)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # BTNH
         # einsum attention with fp32 softmax measures faster than
@@ -157,6 +168,7 @@ class Block(nn.Module):
     layerscale_init: Optional[float] = 1e-4
     norm_eps: float = 1e-6
     ffn_layer: str = "mlp"
+    use_pallas_attention: bool = False
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
@@ -184,6 +196,7 @@ class Block(nn.Module):
             proj_bias=self.proj_bias,
             attn_drop=self.attn_drop,
             proj_drop=self.drop,
+            use_pallas_attention=self.use_pallas_attention,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="attn",

@@ -1,0 +1,303 @@
+"""Fused short-sequence multi-head attention Pallas kernels (ViT shapes).
+
+ViT sequences are tiny (N = 257 at 224^2/p14): a whole [N, N] score matrix
+fits in VMEM, so flash-style online softmax is unnecessary — but XLA's
+attention path materializes [B,H,N,N] through HBM AND surrounds it with
+per-head interleave transposes that dominate block time (profiled ~4ms of a
+~8.5ms ViT-H block). These kernels take the qkv projections in their
+NATURAL [B, N, features] layouts, do the per-head channel slicing inside
+VMEM, run scores+softmax+AV per (batch, head) without touching HBM, and
+write outputs back in natural layout. Backward kernels recompute the probs
+(flash-style) so only the qkv tensors are saved.
+
+Two variants:
+* `standard_attention(qkv)`: qkv [B, N, 3*C] with feature order (3, H, dh).
+* `octic_attention(a1..b2, ef)`: the five LinearD8 qkv outputs — four
+  [B, N, 3C/8] with order (3, H, d1) and E-flat [B, N, 2 * 3C/4] with order
+  (row, 3, H, de). Head channel assignment identical to the reference
+  interleave (reference: octic_vits/d8_layers.py:623-656).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jnp.ndarray
+
+
+def _softmax_rows(s):
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    return p / jnp.sum(p, axis=1, keepdims=True)
+
+
+def _attn_head(q, k, v, scale, out_dtype):
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    p = _softmax_rows(s).astype(out_dtype)
+    return jnp.dot(p, v, preferred_element_type=jnp.float32)
+
+
+def _attn_head_bwd(q, k, v, g, scale, dtype):
+    """Returns (dq, dk, dv) for one head; recomputes probs."""
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    p = _softmax_rows(s)
+    pc = p.astype(dtype)
+    g32 = g.astype(dtype)
+    dv = jax.lax.dot_general(
+        pc, g32, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dp = jax.lax.dot_general(
+        g32, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    row = jnp.sum(dp * p, axis=1, keepdims=True)
+    ds = (p * (dp - row) * scale).astype(dtype)
+    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
+    dk = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# octic variant
+# ---------------------------------------------------------------------------
+
+
+def _octic_slices(refs, h, num_heads, d1, de, s_idx):
+    """Per-head (q|k|v chosen by s_idx) channel slices from the natural
+    layouts; returns list of [N, *] pieces in reference head order."""
+    a1, a2, b1, b2, ef = refs
+    pieces = []
+    for arr in (a1, a2, b1, b2):
+        off = (s_idx * num_heads + h) * d1
+        pieces.append(arr[0][:, off : off + d1])
+    c34 = ef.shape[-1] // 2  # 3C/4 per E row
+    for r in range(2):
+        off = r * c34 + (s_idx * num_heads + h) * de
+        pieces.append(ef[0][:, off : off + de])
+    return pieces
+
+
+def _octic_fwd_kernel(a1, a2, b1, b2, ef, o1, o2, o3, o4, oe,
+                      *, num_heads, d1, de, scale):
+    dtype = a1.dtype
+    refs = (a1, a2, b1, b2, ef)
+    c14 = oe.shape[-1] // 2
+    for h in range(num_heads):
+        q = jnp.concatenate(_octic_slices(refs, h, num_heads, d1, de, 0), axis=1)
+        k = jnp.concatenate(_octic_slices(refs, h, num_heads, d1, de, 1), axis=1)
+        v = jnp.concatenate(_octic_slices(refs, h, num_heads, d1, de, 2), axis=1)
+        out = _attn_head(q, k, v, scale, dtype)  # [N, 4*d1 + 2*de] fp32
+        outs = (o1, o2, o3, o4)
+        for g in range(4):
+            outs[g][0, :, h * d1 : (h + 1) * d1] = (
+                out[:, g * d1 : (g + 1) * d1].astype(dtype)
+            )
+        for r in range(2):
+            off = 4 * d1 + r * de
+            oe[0, :, r * c14 + h * de : r * c14 + (h + 1) * de] = (
+                out[:, off : off + de].astype(dtype)
+            )
+
+
+def _octic_bwd_kernel(a1, a2, b1, b2, ef, g1, g2, g3, g4, gef,
+                      da1, da2, db1, db2, def_,
+                      *, num_heads, d1, de, scale):
+    dtype = a1.dtype
+    refs = (a1, a2, b1, b2, ef)
+    c14 = gef.shape[-1] // 2
+    # every (s_idx, head) writes a disjoint column slice; together they
+    # cover each output exactly once — no accumulation needed
+    for h in range(num_heads):
+        q = jnp.concatenate(_octic_slices(refs, h, num_heads, d1, de, 0), axis=1)
+        k = jnp.concatenate(_octic_slices(refs, h, num_heads, d1, de, 1), axis=1)
+        v = jnp.concatenate(_octic_slices(refs, h, num_heads, d1, de, 2), axis=1)
+        # incoming grad for this head, in the same concat order
+        g_pieces = []
+        for arr in (g1, g2, g3, g4):
+            g_pieces.append(arr[0][:, h * d1 : (h + 1) * d1])
+        for r in range(2):
+            g_pieces.append(gef[0][:, r * c14 + h * de : r * c14 + (h + 1) * de])
+        g = jnp.concatenate(g_pieces, axis=1)
+        dq, dk, dv = _attn_head_bwd(q, k, v, g, scale, dtype)
+        # scatter back into the (3, H, d) qkv layouts (disjoint slices)
+        c34 = def_.shape[-1] // 2
+        for s_idx, dmat in ((0, dq), (1, dk), (2, dv)):
+            col = 0
+            for arr in (da1, da2, db1, db2):
+                off = (s_idx * num_heads + h) * d1
+                arr[0, :, off : off + d1] = dmat[:, col : col + d1].astype(dtype)
+                col += d1
+            for r in range(2):
+                off = r * c34 + (s_idx * num_heads + h) * de
+                def_[0, :, off : off + de] = dmat[:, col : col + de].astype(dtype)
+                col += de
+
+
+def _octic_call(kernel, n_out, shapes, args, grid_b, interpret, kwargs):
+    in_specs = [
+        pl.BlockSpec((1,) + a.shape[1:], lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+        for a in args
+    ]
+    out_specs = tuple(
+        pl.BlockSpec((1,) + s.shape[1:], lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+        for s in shapes
+    )
+    return pl.pallas_call(
+        functools.partial(kernel, **kwargs),
+        grid=(grid_b,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=tuple(jax.ShapeDtypeStruct(s.shape, s.dtype) for s in shapes),
+        interpret=interpret,
+    )(*args)
+
+
+def _auto_interpret(flag):
+    return jax.default_backend() == "cpu" if flag is None else flag
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def octic_attention(a1, a2, b1, b2, ef, num_heads: int,
+                    interpret: Optional[bool] = None):
+    """Five qkv LinearD8 outputs -> five attention outputs (natural layouts).
+
+    a1..b2: [B, N, 3C/8] (feature order (3, H, d1));
+    ef:     [B, N, 2*(3C/4)] flat E rows (order (row, 3, H, de)).
+    Returns (o1..o4 [B,N,C/8], oe_flat [B,N,2*(C/4)])."""
+    return _octic_fwd(a1, a2, b1, b2, ef, num_heads, interpret)
+
+
+def _octic_fwd(a1, a2, b1, b2, ef, num_heads, interpret):
+    b, n, w = a1.shape
+    c8 = w // 3
+    c = 8 * c8
+    d1 = c8 // num_heads
+    de = 2 * c8 // num_heads
+    scale = (c // num_heads) ** -0.5
+    shapes = (
+        *(jax.ShapeDtypeStruct((b, n, c8), a1.dtype) for _ in range(4)),
+        jax.ShapeDtypeStruct((b, n, 2 * (2 * c8)), a1.dtype),
+    )
+    kwargs = dict(num_heads=num_heads, d1=d1, de=de, scale=scale)
+    return _octic_call(
+        _octic_fwd_kernel, 5, shapes, (a1, a2, b1, b2, ef), b,
+        _auto_interpret(interpret), kwargs,
+    )
+
+
+def _octic_fwd_rule(a1, a2, b1, b2, ef, num_heads, interpret):
+    out = _octic_fwd(a1, a2, b1, b2, ef, num_heads, interpret)
+    return out, (a1, a2, b1, b2, ef)
+
+
+def _octic_bwd_rule(num_heads, interpret, res, cots):
+    a1, a2, b1, b2, ef = res
+    g1, g2, g3, g4, gef = cots
+    b, n, w = a1.shape
+    c8 = w // 3
+    c = 8 * c8
+    d1 = c8 // num_heads
+    de = 2 * c8 // num_heads
+    scale = (c // num_heads) ** -0.5
+    shapes = tuple(jax.ShapeDtypeStruct(x.shape, x.dtype)
+                   for x in (a1, a2, b1, b2, ef))
+    kwargs = dict(num_heads=num_heads, d1=d1, de=de, scale=scale)
+    douts = _octic_call(
+        _octic_bwd_kernel, 5, shapes,
+        (a1, a2, b1, b2, ef, g1, g2, g3, g4, gef), b,
+        _auto_interpret(interpret), kwargs,
+    )
+    return douts
+
+
+octic_attention.defvjp(_octic_fwd_rule, _octic_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# standard variant
+# ---------------------------------------------------------------------------
+
+
+def _std_fwd_kernel(qkv, o, *, num_heads, dh, scale):
+    dtype = qkv.dtype
+    c = num_heads * dh
+    for h in range(num_heads):
+        q = qkv[0][:, (0 * num_heads + h) * dh : (0 * num_heads + h + 1) * dh]
+        k = qkv[0][:, (1 * num_heads + h) * dh : (1 * num_heads + h + 1) * dh]
+        v = qkv[0][:, (2 * num_heads + h) * dh : (2 * num_heads + h + 1) * dh]
+        out = _attn_head(q, k, v, scale, dtype)
+        o[0, :, h * dh : (h + 1) * dh] = out.astype(dtype)
+
+
+def _std_bwd_kernel(qkv, g, dqkv, *, num_heads, dh, scale):
+    dtype = qkv.dtype
+    dqkv[...] = jnp.zeros_like(dqkv)
+    for h in range(num_heads):
+        q = qkv[0][:, (0 * num_heads + h) * dh : (0 * num_heads + h + 1) * dh]
+        k = qkv[0][:, (1 * num_heads + h) * dh : (1 * num_heads + h + 1) * dh]
+        v = qkv[0][:, (2 * num_heads + h) * dh : (2 * num_heads + h + 1) * dh]
+        gh = g[0][:, h * dh : (h + 1) * dh]
+        dq, dk, dv = _attn_head_bwd(q, k, v, gh, scale, dtype)
+        for s_idx, dmat in ((0, dq), (1, dk), (2, dv)):
+            off = (s_idx * num_heads + h) * dh
+            dqkv[0, :, off : off + dh] = dmat.astype(dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def standard_attention(qkv, num_heads: int, interpret: Optional[bool] = None):
+    """qkv [B, N, 3C] (feature order (3, H, dh)) -> out [B, N, C]."""
+    return _std_fwd(qkv, num_heads, interpret)
+
+
+def _std_fwd(qkv, num_heads, interpret):
+    b, n, w = qkv.shape
+    c = w // 3
+    dh = c // num_heads
+    scale = dh ** -0.5
+    out_shape = jax.ShapeDtypeStruct((b, n, c), qkv.dtype)
+    return pl.pallas_call(
+        functools.partial(_std_fwd_kernel, num_heads=num_heads, dh=dh, scale=scale),
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, n, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=out_shape,
+        interpret=_auto_interpret(interpret),
+    )(qkv)
+
+
+def _std_fwd_rule(qkv, num_heads, interpret):
+    return _std_fwd(qkv, num_heads, interpret), qkv
+
+
+def _std_bwd_rule(num_heads, interpret, qkv, g):
+    b, n, w = qkv.shape
+    c = w // 3
+    dh = c // num_heads
+    scale = dh ** -0.5
+    dqkv = pl.pallas_call(
+        functools.partial(_std_bwd_kernel, num_heads=num_heads, dh=dh, scale=scale),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
+        interpret=_auto_interpret(interpret),
+    )(qkv, g)
+    return (dqkv,)
+
+
+standard_attention.defvjp(_std_fwd_rule, _std_bwd_rule)

@@ -138,7 +138,12 @@ def train(
                 f.write(json.dumps({"epoch": epoch, **stats}) + "\n")
             if stats["acc1"] > best_acc:
                 best_acc = stats["acc1"]
-                ckpt.save(int(state.step), jax.device_get(state), force=True)
+                import orbax.checkpoint as ocp
+
+                best_path = os.path.abspath(os.path.join(output_dir, "best"))
+                bk = ocp.StandardCheckpointer()
+                bk.save(best_path, jax.device_get(state), force=True)
+                bk.wait_until_finished()
         if max_steps and int(state.step) >= max_steps:
             break
 

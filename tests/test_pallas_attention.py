@@ -1,0 +1,109 @@
+"""Fused VMEM attention kernels vs eager math (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from octic_vits_tpu.d8 import pack_8_to_5
+from octic_vits_tpu.layers.d8_layers import AttentionD8
+from octic_vits_tpu.ops.pallas_attention import octic_attention, standard_attention
+
+
+def test_standard_attention_matches_eager():
+    b, n, h, dh = 2, 9, 4, 16
+    c = h * dh
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (b, n, 3 * c))
+    out = standard_attention(qkv, h, True)
+
+    qkv_r = qkv.reshape(b, n, 3, h, dh)
+    q, k, v = qkv_r[:, :, 0], qkv_r[:, :, 1], qkv_r[:, :, 2]
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * dh**-0.5
+    probs = jax.nn.softmax(logits, -1)
+    ref = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, n, c)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_standard_attention_grad():
+    b, n, h, dh = 2, 5, 2, 8
+    c = h * dh
+    qkv = jax.random.normal(jax.random.PRNGKey(1), (b, n, 3 * c))
+
+    def loss_k(t):
+        return jnp.sum(jnp.sin(standard_attention(t, h, True)))
+
+    def eager(t):
+        r = t.reshape(b, n, 3, h, dh)
+        q, k, v = r[:, :, 0], r[:, :, 1], r[:, :, 2]
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * dh**-0.5
+        probs = jax.nn.softmax(logits, -1)
+        return jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, n, c)
+
+    gk = jax.grad(loss_k)(qkv)
+    ge = jax.grad(lambda t: jnp.sum(jnp.sin(eager(t))))(qkv)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(ge), atol=1e-4)
+
+
+def _module_outputs(use_pallas, xs, heads, variables):
+    attn = AttentionD8(num_heads=heads, qkv_bias=True,
+                       use_pallas_attention=use_pallas)
+    return attn.apply(variables, xs)
+
+
+def test_octic_attention_module_parity():
+    """AttentionD8 with the Pallas kernel == the einsum-native module path
+    (same params, interpret mode via CPU backend)."""
+    b, n, c8, heads = 2, 7, 16, 4
+    xs = pack_8_to_5(tuple(
+        jax.random.normal(jax.random.PRNGKey(i), (b, n, c8)) for i in range(8)
+    ))
+    attn = AttentionD8(num_heads=heads, qkv_bias=True)
+    variables = attn.init(jax.random.PRNGKey(42), xs)
+    ref = _module_outputs(False, xs, heads, variables)
+    out = _module_outputs(True, xs, heads, variables)
+    for i in range(5):
+        np.testing.assert_allclose(
+            np.asarray(out[i]), np.asarray(ref[i]), atol=1e-5,
+            err_msg=f"slot {i}",
+        )
+
+
+def test_octic_attention_grads():
+    b, n, c8, heads = 2, 5, 8, 2
+    keys = jax.random.split(jax.random.PRNGKey(0), 5)
+    a = [jax.random.normal(keys[i], (b, n, 3 * c8)) for i in range(4)]
+    ef = jax.random.normal(keys[4], (b, n, 2 * 3 * 2 * c8))
+
+    def loss(args, use_kernel):
+        if use_kernel:
+            outs = octic_attention(*args, heads, True)
+        else:
+            outs = _eager_octic(*args, num_heads=heads)
+        return sum(jnp.sum(jnp.sin(o)) for o in outs)
+
+    def _eager_octic(a1, a2, b1, b2, ef_, num_heads):
+        c = 8 * (a1.shape[-1] // 3)
+        d1 = (c // 8) // num_heads
+        de = (c // 4) // num_heads
+        e = ef_.reshape(b, n, 2, 3 * c // 4)
+        ones = jnp.stack(
+            [t.reshape(b, n, 3, num_heads, d1) for t in (a1, a2, b1, b2)], axis=3
+        )
+        eq = e.reshape(b, n, 2, 3, num_heads, de)
+        q1, k1, v1 = (ones[:, :, i] for i in range(3))
+        qe, ke, ve = (eq[:, :, :, i] for i in range(3))
+        scale = (c // num_heads) ** -0.5
+        logits = jnp.einsum("bqghd,bkghd->bhqk", q1, k1)
+        logits = (logits + jnp.einsum("bqrhd,bkrhd->bhqk", qe, ke)) * scale
+        p = jax.nn.softmax(logits, -1)
+        o1 = jnp.einsum("bhqk,bkghd->bqghd", p, v1)
+        oe = jnp.einsum("bhqk,bkrhd->bqrhd", p, ve)
+        outs = tuple(o1[:, :, g].reshape(b, n, c // 8) for g in range(4))
+        return outs + (oe.reshape(b, n, 2 * (c // 4)),)
+
+    args = (a[0], a[1], a[2], a[3], ef)
+    gk = jax.grad(lambda t: loss(t, True))(args)
+    ge = jax.grad(lambda t: loss(t, False))(args)
+    for i, (x, y) in enumerate(zip(gk, ge)):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), atol=1e-4, err_msg=f"arg {i}"
+        )
