@@ -77,7 +77,12 @@ def train(
     tx = build_optimizer(cfg, params)
     state = create_train_state(params, tx, ema=True)
 
-    mesh = create_mesh()
+    # mesh size must divide the local batch (tiny test runs use few samples)
+    n_dev = len(jax.devices())
+    local_batch = max(cfg.batch_size // jax.process_count(), 1)
+    while local_batch % n_dev:
+        n_dev -= 1
+    mesh = create_mesh(devices=jax.devices()[:n_dev])
     from octic_vits_tpu.train.common import state_shardings
 
     state_sh = state_shardings(state, mesh)
