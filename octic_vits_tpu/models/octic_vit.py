@@ -59,6 +59,7 @@ class OcticVisionTransformer(nn.Module):
     remat: bool = False        # per-block rematerialization (training memory)
     use_pallas_gelu: bool = False
     use_pallas_linear: bool = False
+    use_pallas_attention: bool = False
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
@@ -130,6 +131,7 @@ class OcticVisionTransformer(nn.Module):
             layerscale_init=self.init_scale,
             use_pallas_gelu=self.use_pallas_gelu,
             use_pallas_linear=self.use_pallas_linear,
+            use_pallas_attention=self.use_pallas_attention,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )
@@ -144,6 +146,7 @@ class OcticVisionTransformer(nn.Module):
             drop_path=self.drop_path_rate,
             layerscale_init=self.init_scale,
             norm_eps=1e-6,
+            use_pallas_attention=self.use_pallas_attention,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )

@@ -39,6 +39,7 @@ class VisionTransformer(nn.Module):
     global_pool: bool = False
     scan_blocks: bool = False
     remat: bool = False
+    use_pallas_attention: bool = False
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
@@ -65,6 +66,7 @@ class VisionTransformer(nn.Module):
             drop_path=self.drop_path_rate,
             layerscale_init=self.init_scale,
             norm_eps=1e-6,
+            use_pallas_attention=self.use_pallas_attention,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )

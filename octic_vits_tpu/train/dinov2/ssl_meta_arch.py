@@ -21,6 +21,7 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from octic_vits_tpu.models import create_model
 from octic_vits_tpu.models.dino_head import DINOHead
@@ -355,8 +356,6 @@ class SSLMetaArch:
 
             # per-submodule grad clipping (reference: train.py:280-291)
             def clip_tree(g):
-                import optax
-
                 gn = optax.global_norm(g)
                 scale = jnp.minimum(1.0, cfg.clip_grad / (gn + 1e-6))
                 return jax.tree.map(lambda x: x * scale, g), gn

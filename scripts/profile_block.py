@@ -44,8 +44,13 @@ def run(name, module, x, method=None, k2=22):
 which = sys.argv[1] if len(sys.argv) > 1 else "all"
 
 if which in ("all", "attn"):
-    run("AttentionD8 (full)", AttentionD8(num_heads=H, qkv_bias=True, dtype=DT), tup())
-    run("Attention standard", Attention(num_heads=H, qkv_bias=True, dtype=DT),
+    run("AttentionD8 (einsum)", AttentionD8(num_heads=H, qkv_bias=True, dtype=DT), tup())
+    run("AttentionD8 (pallas)", AttentionD8(
+        num_heads=H, qkv_bias=True, dtype=DT, use_pallas_attention=True), tup())
+    run("Attention standard (einsum)", Attention(num_heads=H, qkv_bias=True, dtype=DT),
+        jnp.zeros((B, N, C), DT))
+    run("Attention standard (pallas)", Attention(
+        num_heads=H, qkv_bias=True, dtype=DT, use_pallas_attention=True),
         jnp.zeros((B, N, C), DT))
 if which in ("all", "mlp"):
     run("MlpD8 (xla)", MlpD8(dtype=DT), tup())
