@@ -32,44 +32,39 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jnp.ndarray
 
 
-def _softmax_last(s):
-    m = jnp.max(s, axis=-1, keepdims=True)
+def _softmax_rows(s):
+    m = jnp.max(s, axis=1, keepdims=True)
     p = jnp.exp(s - m)
-    return p / jnp.sum(p, axis=-1, keepdims=True)
+    return p / jnp.sum(p, axis=1, keepdims=True)
 
 
-def _attn_heads_batched(q, k, v, scale, out_dtype):
-    """q,k,v [Hc, N, dh] -> out [Hc, N, dh]; scores stay in VMEM (fp32)."""
+def _attn_head(q, k, v, scale, out_dtype):
     s = jax.lax.dot_general(
-        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
-    p = _softmax_last(s).astype(out_dtype)
-    return jax.lax.dot_general(
-        p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )
+    p = _softmax_rows(s).astype(out_dtype)
+    return jnp.dot(p, v, preferred_element_type=jnp.float32)
 
 
-def _attn_heads_batched_bwd(q, k, v, g, scale, dtype):
-    """Batched-head backward; recomputes probs. All [Hc, N, dh]."""
+def _attn_head_bwd(q, k, v, g, scale, dtype):
+    """Returns (dq, dk, dv) for one head; recomputes probs."""
     s = jax.lax.dot_general(
-        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
-    p = _softmax_last(s)
+    p = _softmax_rows(s)
     pc = p.astype(dtype)
-    gc = g.astype(dtype)
+    g32 = g.astype(dtype)
     dv = jax.lax.dot_general(
-        pc, gc, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        pc, g32, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     dp = jax.lax.dot_general(
-        gc, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        g32, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    row = jnp.sum(dp * p, axis=-1, keepdims=True)
+    row = jnp.sum(dp * p, axis=1, keepdims=True)
     ds = (p * (dp - row) * scale).astype(dtype)
-    dq = jax.lax.dot_general(
-        ds, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )
+    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
     dk = jax.lax.dot_general(
-        ds, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     return dq, dk, dv
 
@@ -79,55 +74,41 @@ def _attn_heads_batched_bwd(q, k, v, g, scale, dtype):
 # ---------------------------------------------------------------------------
 
 
-def _head_chunk(num_heads: int) -> int:
-    # keep the fp32 score tensor [Hc, N, N] well inside VMEM
-    return min(num_heads, 8)
-
-
-def _octic_gather(refs, num_heads, d1, de, s_idx, h0, hc):
-    """Build q|k|v [hc, N, dh] for heads h0..h0+hc from natural layouts."""
+def _octic_slices(refs, h, num_heads, d1, de, s_idx):
+    """Per-head (q|k|v chosen by s_idx) channel slices from the natural
+    layouts; returns list of [N, *] pieces in reference head order."""
     a1, a2, b1, b2, ef = refs
-    n = a1.shape[1]
-    c8 = num_heads * d1
     pieces = []
     for arr in (a1, a2, b1, b2):
-        x = arr[0][:, s_idx * c8 : (s_idx + 1) * c8]       # [N, C/8]
-        x = x.reshape(n, num_heads, d1)[:, h0 : h0 + hc]    # [N, hc, d1]
-        pieces.append(x)
-    c34 = ef.shape[-1] // 2
-    c4 = num_heads * de
+        off = (s_idx * num_heads + h) * d1
+        pieces.append(arr[0][:, off : off + d1])
+    c34 = ef.shape[-1] // 2  # 3C/4 per E row
     for r in range(2):
-        x = ef[0][:, r * c34 + s_idx * c4 : r * c34 + (s_idx + 1) * c4]
-        pieces.append(x.reshape(n, num_heads, de)[:, h0 : h0 + hc])
-    cat = jnp.concatenate(pieces, axis=-1)                  # [N, hc, dh]
-    return cat.transpose(1, 0, 2)                           # [hc, N, dh]
-
-
-def _octic_scatter(out, outs1, oe, num_heads, d1, de, h0, hc, dtype):
-    """out [hc, N, dh] -> the five natural output layouts."""
-    n = out.shape[1]
-    o = out.transpose(1, 0, 2).astype(dtype)                # [N, hc, dh]
-    for g in range(4):
-        piece = o[:, :, g * d1 : (g + 1) * d1].reshape(n, hc * d1)
-        outs1[g][0, :, h0 * d1 : (h0 + hc) * d1] = piece
-    c14 = oe.shape[-1] // 2
-    for r in range(2):
-        off = 4 * d1 + r * de
-        piece = o[:, :, off : off + de].reshape(n, hc * de)
-        oe[0, :, r * c14 + h0 * de : r * c14 + (h0 + hc) * de] = piece
+        off = r * c34 + (s_idx * num_heads + h) * de
+        pieces.append(ef[0][:, off : off + de])
+    return pieces
 
 
 def _octic_fwd_kernel(a1, a2, b1, b2, ef, o1, o2, o3, o4, oe,
                       *, num_heads, d1, de, scale):
     dtype = a1.dtype
     refs = (a1, a2, b1, b2, ef)
-    hc = _head_chunk(num_heads)
-    for h0 in range(0, num_heads, hc):
-        q = _octic_gather(refs, num_heads, d1, de, 0, h0, hc)
-        k = _octic_gather(refs, num_heads, d1, de, 1, h0, hc)
-        v = _octic_gather(refs, num_heads, d1, de, 2, h0, hc)
-        out = _attn_heads_batched(q, k, v, scale, dtype)
-        _octic_scatter(out, (o1, o2, o3, o4), oe, num_heads, d1, de, h0, hc, dtype)
+    c14 = oe.shape[-1] // 2
+    for h in range(num_heads):
+        q = jnp.concatenate(_octic_slices(refs, h, num_heads, d1, de, 0), axis=1)
+        k = jnp.concatenate(_octic_slices(refs, h, num_heads, d1, de, 1), axis=1)
+        v = jnp.concatenate(_octic_slices(refs, h, num_heads, d1, de, 2), axis=1)
+        out = _attn_head(q, k, v, scale, dtype)  # [N, 4*d1 + 2*de] fp32
+        outs = (o1, o2, o3, o4)
+        for g in range(4):
+            outs[g][0, :, h * d1 : (h + 1) * d1] = (
+                out[:, g * d1 : (g + 1) * d1].astype(dtype)
+            )
+        for r in range(2):
+            off = 4 * d1 + r * de
+            oe[0, :, r * c14 + h * de : r * c14 + (h + 1) * de] = (
+                out[:, off : off + de].astype(dtype)
+            )
 
 
 def _octic_bwd_kernel(a1, a2, b1, b2, ef, g1, g2, g3, g4, gef,
@@ -136,40 +117,31 @@ def _octic_bwd_kernel(a1, a2, b1, b2, ef, g1, g2, g3, g4, gef,
     dtype = a1.dtype
     refs = (a1, a2, b1, b2, ef)
     c14 = gef.shape[-1] // 2
-    c34 = def_.shape[-1] // 2
-    n = a1.shape[1]
-    hc = _head_chunk(num_heads)
-    # every (s_idx, head-chunk) writes a disjoint column slice; together
-    # they cover each output exactly once — no accumulation needed
-    for h0 in range(0, num_heads, hc):
-        q = _octic_gather(refs, num_heads, d1, de, 0, h0, hc)
-        k = _octic_gather(refs, num_heads, d1, de, 1, h0, hc)
-        v = _octic_gather(refs, num_heads, d1, de, 2, h0, hc)
-        # incoming grad for this head chunk, [hc, N, dh] in concat order
+    # every (s_idx, head) writes a disjoint column slice; together they
+    # cover each output exactly once — no accumulation needed
+    for h in range(num_heads):
+        q = jnp.concatenate(_octic_slices(refs, h, num_heads, d1, de, 0), axis=1)
+        k = jnp.concatenate(_octic_slices(refs, h, num_heads, d1, de, 1), axis=1)
+        v = jnp.concatenate(_octic_slices(refs, h, num_heads, d1, de, 2), axis=1)
+        # incoming grad for this head, in the same concat order
         g_pieces = []
         for arr in (g1, g2, g3, g4):
-            g_pieces.append(
-                arr[0].reshape(n, num_heads, d1)[:, h0 : h0 + hc]
-            )
+            g_pieces.append(arr[0][:, h * d1 : (h + 1) * d1])
         for r in range(2):
-            x = gef[0][:, r * c14 : (r + 1) * c14]
-            g_pieces.append(x.reshape(n, num_heads, de)[:, h0 : h0 + hc])
-        g = jnp.concatenate(g_pieces, axis=-1).transpose(1, 0, 2)
-        dq, dk, dv = _attn_heads_batched_bwd(q, k, v, g, scale, dtype)
+            g_pieces.append(gef[0][:, r * c14 + h * de : r * c14 + (h + 1) * de])
+        g = jnp.concatenate(g_pieces, axis=1)
+        dq, dk, dv = _attn_head_bwd(q, k, v, g, scale, dtype)
+        # scatter back into the (3, H, d) qkv layouts (disjoint slices)
+        c34 = def_.shape[-1] // 2
         for s_idx, dmat in ((0, dq), (1, dk), (2, dv)):
-            o = dmat.transpose(1, 0, 2).astype(dtype)  # [N, hc, dh]
             col = 0
             for arr in (da1, da2, db1, db2):
-                off = s_idx * num_heads * d1 + h0 * d1
-                arr[0, :, off : off + hc * d1] = (
-                    o[:, :, col : col + d1].reshape(n, hc * d1)
-                )
+                off = (s_idx * num_heads + h) * d1
+                arr[0, :, off : off + d1] = dmat[:, col : col + d1].astype(dtype)
                 col += d1
             for r in range(2):
-                off = r * c34 + s_idx * num_heads * de + h0 * de
-                def_[0, :, off : off + hc * de] = (
-                    o[:, :, col : col + de].reshape(n, hc * de)
-                )
+                off = r * c34 + (s_idx * num_heads + h) * de
+                def_[0, :, off : off + de] = dmat[:, col : col + de].astype(dtype)
                 col += de
 
 
@@ -258,44 +230,29 @@ octic_attention.defvjp(_octic_fwd_rule, _octic_bwd_rule)
 # ---------------------------------------------------------------------------
 
 
-def _std_gather(qkv, num_heads, dh, s_idx, h0, hc):
-    n = qkv.shape[1]
-    c = num_heads * dh
-    x = qkv[0][:, s_idx * c : (s_idx + 1) * c]
-    return x.reshape(n, num_heads, dh)[:, h0 : h0 + hc].transpose(1, 0, 2)
-
-
 def _std_fwd_kernel(qkv, o, *, num_heads, dh, scale):
     dtype = qkv.dtype
-    n = qkv.shape[1]
-    hc = _head_chunk(num_heads)
-    for h0 in range(0, num_heads, hc):
-        q = _std_gather(qkv, num_heads, dh, 0, h0, hc)
-        k = _std_gather(qkv, num_heads, dh, 1, h0, hc)
-        v = _std_gather(qkv, num_heads, dh, 2, h0, hc)
-        out = _attn_heads_batched(q, k, v, scale, dtype)
-        o[0, :, h0 * dh : (h0 + hc) * dh] = (
-            out.transpose(1, 0, 2).astype(dtype).reshape(n, hc * dh)
-        )
+    c = num_heads * dh
+    for h in range(num_heads):
+        q = qkv[0][:, (0 * num_heads + h) * dh : (0 * num_heads + h + 1) * dh]
+        k = qkv[0][:, (1 * num_heads + h) * dh : (1 * num_heads + h + 1) * dh]
+        v = qkv[0][:, (2 * num_heads + h) * dh : (2 * num_heads + h + 1) * dh]
+        out = _attn_head(q, k, v, scale, dtype)
+        o[0, :, h * dh : (h + 1) * dh] = out.astype(dtype)
 
 
 def _std_bwd_kernel(qkv, g, dqkv, *, num_heads, dh, scale):
     dtype = qkv.dtype
-    n = qkv.shape[1]
-    hc = _head_chunk(num_heads)
-    for h0 in range(0, num_heads, hc):
-        q = _std_gather(qkv, num_heads, dh, 0, h0, hc)
-        k = _std_gather(qkv, num_heads, dh, 1, h0, hc)
-        v = _std_gather(qkv, num_heads, dh, 2, h0, hc)
-        gh = (
-            g[0].reshape(n, num_heads, dh)[:, h0 : h0 + hc].transpose(1, 0, 2)
-        )
-        dq, dk, dv = _attn_heads_batched_bwd(q, k, v, gh, scale, dtype)
+    dqkv[...] = jnp.zeros_like(dqkv)
+    for h in range(num_heads):
+        q = qkv[0][:, (0 * num_heads + h) * dh : (0 * num_heads + h + 1) * dh]
+        k = qkv[0][:, (1 * num_heads + h) * dh : (1 * num_heads + h + 1) * dh]
+        v = qkv[0][:, (2 * num_heads + h) * dh : (2 * num_heads + h + 1) * dh]
+        gh = g[0][:, h * dh : (h + 1) * dh]
+        dq, dk, dv = _attn_head_bwd(q, k, v, gh, scale, dtype)
         for s_idx, dmat in ((0, dq), (1, dk), (2, dv)):
-            off = s_idx * num_heads * dh + h0 * dh
-            dqkv[0, :, off : off + hc * dh] = (
-                dmat.transpose(1, 0, 2).astype(dtype).reshape(n, hc * dh)
-            )
+            off = (s_idx * num_heads + h) * dh
+            dqkv[0, :, off : off + dh] = dmat.astype(dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
