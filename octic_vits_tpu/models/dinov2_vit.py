@@ -40,6 +40,7 @@ class DinoVisionTransformer(nn.Module):
     layerscale_init: Optional[float] = 1.0
     num_register_tokens: int = 0
     ffn_layer: str = "mlp"
+    use_pallas_attention: bool = False
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
@@ -79,6 +80,7 @@ class DinoVisionTransformer(nn.Module):
                 layerscale_init=self.layerscale_init,
                 norm_eps=1e-6,
                 ffn_layer=self.ffn_layer,
+                use_pallas_attention=self.use_pallas_attention,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"blocks_{i}",

@@ -64,12 +64,17 @@ def train(
     max_steps: Optional[int] = None,
 ):
     os.makedirs(output_dir, exist_ok=True)
+    kwargs = dict(model_kwargs or {})
+    if jax.default_backend() not in ("cpu",):
+        kwargs.setdefault("use_pallas_attention", True)
+        if model_name.startswith(("hybrid", "d8", "_t")):
+            kwargs.setdefault("use_pallas_linear", True)
     model = create_model(
         model_name,
         img_size=img_size,
         drop_path_rate=cfg.drop_path,
         num_classes=cfg.num_classes,
-        **(model_kwargs or {}),
+        **kwargs,
     )
     rng = jax.random.PRNGKey(seed)
     sample = jnp.zeros((1, img_size, img_size, 3))

@@ -63,8 +63,9 @@ class SSLConfig:
     clip_grad: float = 3.0
     layerwise_decay: float = 0.9
     patch_embed_lr_mult: float = 0.2
-    # precision
+    # precision / kernels
     compute_dtype: Any = jnp.bfloat16
+    use_pallas_kernels: bool = True  # fused attention/MLP kernels on TPU
 
 
 class SSLState(NamedTuple):
@@ -80,11 +81,22 @@ class SSLState(NamedTuple):
 class SSLMetaArch:
     def __init__(self, cfg: SSLConfig):
         self.cfg = cfg
+        on_tpu = jax.default_backend() not in ("cpu",)
+        kernel_kwargs = (
+            dict(use_pallas_attention=True, use_pallas_linear=True)
+            if cfg.use_pallas_kernels and on_tpu
+            else {}
+        )
+        if "use_pallas_linear" in kernel_kwargs and not cfg.arch.startswith(
+            ("hybrid", "d8", "_test")
+        ):
+            kernel_kwargs.pop("use_pallas_linear")  # standard ViTs lack it
         self.backbone = create_model(
             cfg.arch,
             img_size=cfg.img_size,
             drop_path_rate=cfg.drop_path_rate,
             dtype=cfg.compute_dtype,
+            **kernel_kwargs,
         )
         head = functools.partial(
             DINOHead,
