@@ -340,12 +340,56 @@ class SSLMetaArch:
 
     # ---- train step ---------------------------------------------------------
 
-    def make_train_step(self):
+    def state_shardings(self, state: SSLState, mesh, shard_params: bool = False):
+        """SPMD shardings: optimizer moments (and optionally params) over
+        the fsdp axis — the FSDP SHARD_GRAD_OP analog; centers replicated."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from octic_vits_tpu.parallel.sharding import (
+            replicated_tree, tree_shardings,
+        )
+
+        params_sh = (
+            tree_shardings(state.student, mesh)
+            if shard_params
+            else replicated_tree(state.student, mesh)
+        )
+        rep = NamedSharding(mesh, P())
+        return SSLState(
+            step=rep,
+            student=params_sh,
+            teacher=params_sh,
+            mu=tree_shardings(state.mu, mesh),
+            nu=tree_shardings(state.nu, mesh),
+            dino_center=rep,
+            ibot_center=rep,
+        )
+
+    def batch_shardings(self, mesh):
+        """Crops/masks sharded over the whole mesh; the padded masked-token
+        buffers are global (gathered) so they stay replicated."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from octic_vits_tpu.parallel.mesh import DATA_AXIS, FSDP_AXIS
+
+        data = NamedSharding(mesh, P((DATA_AXIS, FSDP_AXIS)))
+        rep = NamedSharding(mesh, P())
+        return {
+            "global_crops": data,
+            "local_crops": data,
+            "masks": data,
+            "mask_indices": rep,
+            "masks_weight": rep,
+            "n_masked_patches": rep,
+        }
+
+    def make_train_step(self, mesh=None, state_sh=None):
         """Jitted step(state, batch, schedule_scalars, rng) -> (state, metrics).
 
         schedule_scalars: dict(lr, wd, last_layer_lr, momentum, teacher_temp)
         — computed host-side from the CosineSchedulers and passed as scalars
-        (reference: dinov2/train/train.py:253-295)."""
+        (reference: dinov2/train/train.py:253-295). With `mesh` the step is
+        jitted with explicit shardings (DP over the mesh + ZeRO-2 moments)."""
         cfg = self.cfg
 
         def step_fn(state: SSLState, batch, sched, rng):
@@ -445,4 +489,15 @@ class SSLMetaArch:
                 metrics[f"grad_norm/{k}"] = gn
             return new_state, metrics
 
-        return step_fn
+        if mesh is None:
+            return step_fn
+        assert state_sh is not None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(mesh, P())
+        return jax.jit(
+            step_fn,
+            donate_argnums=(0,),
+            in_shardings=(state_sh, self.batch_shardings(mesh), rep, rep),
+            out_shardings=(state_sh, rep),
+        )

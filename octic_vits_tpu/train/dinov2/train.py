@@ -99,7 +99,28 @@ def do_train(
             state = restored
     start_iter = int(state.step)
 
-    step = jax.jit(arch.make_train_step(), donate_argnums=(0,))
+    # size the mesh to divide the per-step crop batches (peek one batch)
+    import itertools
+    import math as _math
+
+    first = next(batch_iter)
+    batch_iter = itertools.chain([first], batch_iter)
+    rows = _math.gcd(first["global_crops"].shape[0], first["local_crops"].shape[0])
+    n_dev = len(jax.devices())
+    while rows % n_dev:
+        n_dev -= 1
+    if n_dev > 1:
+        from octic_vits_tpu.parallel import create_mesh
+
+        mesh = create_mesh(devices=jax.devices()[:n_dev])
+        state_sh = arch.state_shardings(state, mesh)
+        state = jax.device_put(state, state_sh)
+        step = arch.make_train_step(mesh=mesh, state_sh=state_sh)
+        batch_sh = arch.batch_shardings(mesh)
+        device_put_batch = lambda b: jax.device_put(b, batch_sh)
+    else:
+        step = jax.jit(arch.make_train_step(), donate_argnums=(0,))
+        device_put_batch = device_put
     rng = jax.random.PRNGKey(seed + 1)
 
     eval_period = cfg.get("evaluation", {}).get("eval_period_iterations", 12500)
@@ -107,7 +128,7 @@ def do_train(
     for it in range(start_iter, max_iter):
         batch = next(batch_iter)
         data_time = time.time() - t_end
-        batch = device_put({k: jnp.asarray(v) for k, v in batch.items()})
+        batch = device_put_batch({k: jnp.asarray(v) for k, v in batch.items()})
         sched = {
             "lr": lr_s[it],
             "wd": wd_s[it],
