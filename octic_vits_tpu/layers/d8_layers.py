@@ -59,7 +59,10 @@ class LinearD8(nn.Module):
     kernel_init: Callable = _trunc_normal(0.02)
 
     @nn.compact
-    def __call__(self, xs: Tuple5) -> Tuple5:
+    def __call__(self, xs: Tuple5, layerscale=None, residual=None) -> Tuple5:
+        """`layerscale` = (alpha_1d [4,F/8], alpha_e [F/4]) and `residual`
+        (output-shaped 5-tuple) fuse  y = residual + alpha * linear(x)
+        — the block LayerScale + residual add — into the kernel epilogue."""
         a1, a2, b1, b2, e = xs
         c8 = a1.shape[-1]
         f8 = self.features // 8
@@ -79,10 +82,19 @@ class LinearD8(nn.Module):
                 else None
             )
             xs_c = tuple(x.astype(dtype) for x in xs)
+            ls = None
+            if layerscale is not None:
+                ls = (
+                    layerscale[0].astype(dtype),
+                    layerscale[1].astype(dtype),
+                )
+                residual = tuple(r.astype(dtype) for r in residual)
             return linear_d8_tuple(
                 xs_c, w1.astype(dtype), we.astype(dtype),
                 None if bias is None else bias.astype(dtype),
                 fuse_gelu=self.fuse_gelu,
+                layerscale=ls,
+                residual=residual,
             )
 
         w1 = w1.astype(dtype)
@@ -100,7 +112,14 @@ class LinearD8(nn.Module):
             bias = self.param("bias_a1", nn.initializers.zeros, (f8,), self.param_dtype)
             oa1 = oa1 + bias.astype(dtype)
         oe = jnp.dot(e.astype(dtype), we, preferred_element_type=dtype)
-        return (oa1, oa2, ob1, ob2, oe)
+        outs = (oa1, oa2, ob1, ob2, oe)
+        if layerscale is not None:
+            ls1, lse = layerscale
+            outs = tuple(
+                r + ls1[g].astype(dtype) * o
+                for g, (r, o) in enumerate(zip(residual[:4], outs[:4]))
+            ) + (residual[4] + lse.astype(dtype) * outs[4],)
+        return outs
 
 
 class ScaleD8(nn.Module):
@@ -249,7 +268,8 @@ class MlpD8(nn.Module):
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, xs: Tuple5, deterministic: bool = True) -> Tuple5:
+    def __call__(self, xs: Tuple5, deterministic: bool = True,
+                 layerscale=None, residual=None) -> Tuple5:
         in_features = xs[0].shape[-1] * 8
         hidden = self.hidden_features or in_features
         out = self.out_features or in_features
@@ -264,7 +284,9 @@ class MlpD8(nn.Module):
         if not self.use_pallas_linear:
             xs = GeluD8(use_pallas=self.use_pallas_gelu)(xs)
         xs = DropoutD8(self.drop)(xs, deterministic)
-        xs = LinearD8(out, use_bias=self.use_bias, name="fc2", **common)(xs)
+        xs = LinearD8(out, use_bias=self.use_bias, name="fc2", **common)(
+            xs, layerscale=layerscale, residual=residual
+        )
         xs = DropoutD8(self.drop)(xs, deterministic)
         return xs
 
@@ -468,7 +490,8 @@ class AttentionD8(nn.Module):
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, xs: Tuple5, deterministic: bool = True) -> Tuple5:
+    def __call__(self, xs: Tuple5, deterministic: bool = True,
+                 layerscale=None, residual=None) -> Tuple5:
         b, n, c8 = xs[0].shape
         c = 8 * c8
         h = self.num_heads
@@ -492,8 +515,12 @@ class AttentionD8(nn.Module):
             o1, o2, o3, o4, oef = octic_attention(
                 qkvs[0], qkvs[1], qkvs[2], qkvs[3], ef, h
             )
-            ys = LinearD8(c, use_bias=self.proj_bias, name="proj", **common)(
-                (o1, o2, o3, o4, oef.reshape(b, n, 2, c // 4))
+            ys = LinearD8(
+                c, use_bias=self.proj_bias,
+                use_pallas=layerscale is not None, name="proj", **common,
+            )(
+                (o1, o2, o3, o4, oef.reshape(b, n, 2, c // 4)),
+                layerscale=layerscale, residual=residual,
             )
             return DropoutD8(self.proj_drop)(ys, deterministic)
 
@@ -538,7 +565,9 @@ class AttentionD8(nn.Module):
         )
         xe = oute.reshape(b, n, 2, c // 4)
 
-        ys = LinearD8(c, use_bias=self.proj_bias, name="proj", **common)(outs1 + (xe,))
+        ys = LinearD8(c, use_bias=self.proj_bias, name="proj", **common)(
+            outs1 + (xe,), layerscale=layerscale, residual=residual
+        )
         ys = DropoutD8(self.proj_drop)(ys, deterministic)
         return ys
 
@@ -570,19 +599,37 @@ class BlockD8(nn.Module):
     @nn.compact
     def __call__(self, xs: Tuple5, deterministic: bool = True) -> Tuple5:
         dim = xs[0].shape[-1] * 8
+        c8 = dim // 8
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
 
-        def maybe_scale(ys, name):
-            if self.layerscale_init is None:
-                return ys
+        # Fused epilogue: when LayerScale is present and no stochastic op
+        # sits between the linear and the residual add, the proj/fc2 kernels
+        # write  x + ls * y  directly (saves two HBM round trips per block).
+        fuse_epilogue = (
+            self.use_pallas_linear
+            and self.layerscale_init is not None
+            and self.drop == 0.0
+            and (self.drop_path == 0.0 or deterministic)
+        )
+
+        def scale_mod(name):
             return ScaleD8(
                 init_value=self.layerscale_init,
                 param_dtype=self.param_dtype,
                 name=name,
-            )(ys)
+            )
 
-        ys = LayerNormD8(param_dtype=self.param_dtype, name="norm1")(xs)
-        ys = AttentionD8(
+        def alphas_of(name):
+            # Extract the LayerScale vectors by applying the module to ones
+            # (constant-folded): keeps the parameter tree identical to the
+            # unfused path.
+            ones = (jnp.ones((c8,), jnp.float32),) * 4 + (
+                jnp.ones((2, 2 * c8), jnp.float32),
+            )
+            a = scale_mod(name)(ones)
+            return jnp.stack(a[:4]), a[4][0]
+
+        attn = AttentionD8(
             num_heads=self.num_heads,
             qkv_bias=self.qkv_bias,
             proj_bias=self.proj_bias,
@@ -591,13 +638,8 @@ class BlockD8(nn.Module):
             use_pallas_attention=self.use_pallas_attention,
             name="attn",
             **common,
-        )(ys, deterministic)
-        ys = maybe_scale(ys, "ls1")
-        ys = DropPathD8(self.drop_path, name="drop_path1")(ys, deterministic)
-        xs = tuple(x + y for x, y in zip(xs, ys))
-
-        ys = LayerNormD8(param_dtype=self.param_dtype, name="norm2")(xs)
-        ys = MlpD8(
+        )
+        mlp = MlpD8(
             hidden_features=int(dim * self.mlp_ratio),
             use_bias=self.ffn_bias,
             drop=self.drop,
@@ -605,7 +647,31 @@ class BlockD8(nn.Module):
             use_pallas_linear=self.use_pallas_linear,
             name="mlp",
             **common,
-        )(ys, deterministic)
+        )
+        norm1 = LayerNormD8(param_dtype=self.param_dtype, name="norm1")
+        norm2 = LayerNormD8(param_dtype=self.param_dtype, name="norm2")
+
+        if fuse_epilogue:
+            xs = attn(
+                norm1(xs), deterministic,
+                layerscale=alphas_of("ls1"), residual=xs,
+            )
+            return mlp(
+                norm2(xs), deterministic,
+                layerscale=alphas_of("ls2"), residual=xs,
+            )
+
+        def maybe_scale(ys, name):
+            if self.layerscale_init is None:
+                return ys
+            return scale_mod(name)(ys)
+
+        ys = attn(norm1(xs), deterministic)
+        ys = maybe_scale(ys, "ls1")
+        ys = DropPathD8(self.drop_path, name="drop_path1")(ys, deterministic)
+        xs = tuple(x + y for x, y in zip(xs, ys))
+
+        ys = mlp(norm2(xs), deterministic)
         ys = maybe_scale(ys, "ls2")
         ys = DropPathD8(self.drop_path, name="drop_path2")(ys, deterministic)
         return tuple(x + y for x, y in zip(xs, ys))

@@ -42,7 +42,12 @@ def _apply_gelu_tiles(a1, a2, b1, b2, e11, e12, e21, e22):
     return iso[0], iso[1], iso[2], iso[3], iso[4], iso[6], iso[5], iso[7]
 
 
-def _kernel(x1, xef, w1, we, bias, y1, yef, *, fuse_gelu: bool, use_bias: bool):
+def _kernel(x1, xef, w1, we, bias, *rest, fuse_gelu: bool, use_bias: bool,
+            use_epilogue: bool):
+    if use_epilogue:
+        ls1, lse, r1, ref_, y1, yef = rest
+    else:
+        y1, yef = rest
     dtype = y1.dtype
     f = w1.shape[-1]
     c = w1.shape[-2]
@@ -77,9 +82,22 @@ def _kernel(x1, xef, w1, we, bias, y1, yef, *, fuse_gelu: bool, use_bias: bool):
         )
         outs1 = [a1, a2, b1, b2]
 
-    for g in range(4):
-        y1[g] = outs1[g].astype(dtype)
-    yef[...] = jnp.concatenate((e11, e12, e21, e22), axis=-1).astype(dtype)
+    cat_e = jnp.concatenate((e11, e12, e21, e22), axis=-1)
+    if use_epilogue:
+        # y = residual + layerscale * linear_out, fused before the store
+        for g in range(4):
+            y1[g] = (
+                r1[g].astype(jnp.float32)
+                + ls1[g : g + 1, :].astype(jnp.float32) * outs1[g]
+            ).astype(dtype)
+        yef[...] = (
+            ref_[...].astype(jnp.float32)
+            + lse[...].astype(jnp.float32) * cat_e
+        ).astype(dtype)
+    else:
+        for g in range(4):
+            y1[g] = outs1[g].astype(dtype)
+        yef[...] = cat_e.astype(dtype)
 
 
 def _row_tile(m: int, c: int, f: int, itemsize: int) -> int:
@@ -91,28 +109,43 @@ def _row_tile(m: int, c: int, f: int, itemsize: int) -> int:
     return max(8, min((tm // 8) * 8, m, 1024))
 
 
-def _fwd_pallas(x1, xef, w1, we, bias, fuse_gelu, interpret):
+def _fwd_pallas(x1, xef, w1, we, bias, ls1, lse, r1, ref_, fuse_gelu, interpret):
     m = x1.shape[1]
     c = w1.shape[1]
     f = w1.shape[2]
     use_bias = bias is not None
+    use_epilogue = ls1 is not None
+    assert not (use_epilogue and fuse_gelu), "epilogue and gelu are exclusive"
     if bias is None:
         bias = jnp.zeros((1, f), x1.dtype)
     else:
         bias = bias.reshape(1, f)
     tm = _row_tile(m, c, f, x1.dtype.itemsize)
     grid = (pl.cdiv(m, tm),)
-    kern = functools.partial(_kernel, fuse_gelu=fuse_gelu, use_bias=use_bias)
+    kern = functools.partial(
+        _kernel, fuse_gelu=fuse_gelu, use_bias=use_bias, use_epilogue=use_epilogue
+    )
+    in_specs = [
+        pl.BlockSpec((4, tm, c), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tm, 4 * c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, c, f), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2 * c, 2 * f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [x1, xef, w1, we, bias]
+    if use_epilogue:
+        lse_full = jnp.concatenate((lse, lse)).reshape(1, 4 * f)
+        in_specs += [
+            pl.BlockSpec((4, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, tm, f), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 4 * f), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ]
+        args += [ls1, lse_full, r1, ref_]
     y1, yef = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((4, tm, c), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tm, 4 * c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, c, f), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * c, 2 * f), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((4, tm, f), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tm, 4 * f), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -122,7 +155,7 @@ def _fwd_pallas(x1, xef, w1, we, bias, fuse_gelu, interpret):
             jax.ShapeDtypeStruct((m, 4 * f), x1.dtype),
         ),
         interpret=interpret,
-    )(x1, xef, w1, we, bias)
+    )(*args)
     return y1, yef
 
 
@@ -150,28 +183,53 @@ def _eager_ref(x1, xef, w1, we, bias, fuse_gelu):
     return y1.astype(x1.dtype), yef.astype(x1.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
 def linear_d8_fused(
     x1: Array, xef: Array, w1: Array, we: Array, bias: Optional[Array],
+    ls1: Optional[Array] = None, lse: Optional[Array] = None,
+    r1: Optional[Array] = None, ref_: Optional[Array] = None,
     fuse_gelu: bool = False, interpret: Optional[bool] = None,
 ) -> Tuple[Array, Array]:
+    """Fused equivariant linear. Optional epilogue
+    y = residual + layerscale * linear(x) (for proj / fc2 + the block
+    residual): ls1 [4, f] per-irrep scales, lse [2f] E scales, r1/ref_ the
+    residual in kernel layouts."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    return _fwd_pallas(x1, xef, w1, we, bias, fuse_gelu, interpret)
+    return _fwd_pallas(x1, xef, w1, we, bias, ls1, lse, r1, ref_,
+                       fuse_gelu, interpret)
 
 
-def _fwd_rule(x1, xef, w1, we, bias, fuse_gelu, interpret):
-    out = linear_d8_fused(x1, xef, w1, we, bias, fuse_gelu, interpret)
-    return out, (x1, xef, w1, we, bias)
+def _fwd_rule(x1, xef, w1, we, bias, ls1, lse, r1, ref_, fuse_gelu, interpret):
+    out = linear_d8_fused(x1, xef, w1, we, bias, ls1, lse, r1, ref_,
+                          fuse_gelu, interpret)
+    return out, (x1, xef, w1, we, bias, ls1, lse)
 
 
 def _bwd_rule(fuse_gelu, interpret, res, cot):
-    x1, xef, w1, we, bias = res
+    x1, xef, w1, we, bias, ls1, lse = res
     g1, gef = cot
     c = w1.shape[1]
     f = w1.shape[2]
     g1 = g1.astype(jnp.float32)
     gef = gef.astype(jnp.float32)
+
+    dls1 = dlse = dr1 = dref = None
+    if ls1 is not None:
+        # y = r + ls * z  with z = linear(x):
+        # dr = g; dls = sum_m g*z; dz = g*ls
+        z1, zrow0, zrow1 = _eager_linear(x1, xef, w1, we, bias)
+        zef = jnp.concatenate(
+            (zrow0[:, :f], zrow0[:, f:], zrow1[:, :f], zrow1[:, f:]), axis=-1
+        )
+        dr1 = g1.astype(x1.dtype)
+        dref = gef.astype(xef.dtype)
+        dls1 = jnp.sum(g1 * z1, axis=1).astype(ls1.dtype)
+        dlse_full = jnp.sum(gef * zef, axis=0)
+        dlse = (dlse_full[: 2 * f] + dlse_full[2 * f :]).astype(lse.dtype)
+        lse_full = jnp.concatenate((lse, lse)).astype(jnp.float32)
+        g1 = g1 * ls1.astype(jnp.float32)[:, None, :]
+        gef = gef * lse_full[None, :]
 
     if fuse_gelu:
         # recompute pre-activation z, push cotangent through the octic GELU:
@@ -203,14 +261,23 @@ def _bwd_rule(fuse_gelu, interpret, res, cot):
         dw1.astype(w1.dtype),
         dwe.astype(we.dtype),
         dbias,
+        dls1,
+        dlse,
+        dr1,
+        dref,
     )
 
 
 linear_d8_fused.defvjp(_fwd_rule, _bwd_rule)
 
 
-def linear_d8_tuple(xs, w1, we, bias, fuse_gelu=False, interpret=None):
-    """5-tuple wrapper: (a1,a2,b1,b2,e[...,2,2c]) -> 5-tuple of width f."""
+def linear_d8_tuple(xs, w1, we, bias, fuse_gelu=False, interpret=None,
+                    layerscale=None, residual=None):
+    """5-tuple wrapper: (a1,a2,b1,b2,e[...,2,2c]) -> 5-tuple of width f.
+
+    `layerscale` = (alpha_1d [4,f], alpha_e [2f]) and `residual` (a 5-tuple
+    of output shape) fuse  y = residual + alpha * linear(x)  into the
+    kernel epilogue (the block's LayerScale + residual add)."""
     a1 = xs[0]
     lead = a1.shape[:-1]
     m = 1
@@ -220,7 +287,14 @@ def linear_d8_tuple(xs, w1, we, bias, fuse_gelu=False, interpret=None):
     f = w1.shape[-1]
     x1 = jnp.stack([x.reshape(m, c) for x in xs[:4]])
     xef = xs[4].reshape(m, 4 * c)
-    y1, yef = linear_d8_fused(x1, xef, w1, we, bias, fuse_gelu, interpret)
+    ls1 = lse = r1 = ref_ = None
+    if layerscale is not None:
+        ls1, lse = layerscale
+        r1 = jnp.stack([r.reshape(m, f) for r in residual[:4]])
+        ref_ = residual[4].reshape(m, 4 * f)
+    y1, yef = linear_d8_fused(
+        x1, xef, w1, we, bias, ls1, lse, r1, ref_, fuse_gelu, interpret
+    )
     outs = tuple(y1[g].reshape(*lead, f) for g in range(4))
     e = yef.reshape(*lead, 2, 2 * f)
     return outs + (e,)

@@ -27,7 +27,7 @@ def make_inputs(m=24, c=16, f=24, seed=0, bias=True):
 def test_forward_matches_eager():
     x1, xef, w1, we, b = make_inputs()
     for fuse in (False, True):
-        y1, yef = linear_d8_fused(x1, xef, w1, we, b, fuse, True)
+        y1, yef = linear_d8_fused(x1, xef, w1, we, b, None, None, None, None, fuse, True)
         r1, ref = _eager_ref(x1, xef, w1, we, b, fuse)
         np.testing.assert_allclose(np.asarray(y1), np.asarray(r1), atol=2e-5)
         np.testing.assert_allclose(np.asarray(yef), np.asarray(ref), atol=2e-5)
@@ -35,7 +35,7 @@ def test_forward_matches_eager():
 
 def test_forward_no_bias():
     x1, xef, w1, we, _ = make_inputs(bias=False)
-    y1, yef = linear_d8_fused(x1, xef, w1, we, None, False, True)
+    y1, yef = linear_d8_fused(x1, xef, w1, we, None, None, None, None, None, False, True)
     r1, ref = _eager_ref(x1, xef, w1, we, None, False)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(r1), atol=2e-5)
 
@@ -44,7 +44,7 @@ def test_gradients_match_eager():
     x1, xef, w1, we, b = make_inputs(m=16, c=8, f=8)
     for fuse in (False, True):
         def loss_k(args):
-            y1, yef = linear_d8_fused(*args, fuse, True)
+            y1, yef = linear_d8_fused(*args, None, None, None, None, fuse, True)
             return jnp.sum(y1**2) + jnp.sum(jnp.sin(yef))
 
         def loss_e(args):
