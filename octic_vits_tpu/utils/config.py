@@ -80,18 +80,26 @@ def apply_dotlist(cfg: ConfigNode, opts: List[str]) -> ConfigNode:
     return cfg
 
 
+def _interpolate_tree(node: ConfigNode) -> ConfigNode:
+    for k, v in node.items():
+        if isinstance(v, ConfigNode):
+            _interpolate_tree(v)
+        else:
+            node[k] = _interpolate_env(v)
+    return node
+
+
 def build_config(
     default: Dict,
     config_file: Optional[str] = None,
     opts: Optional[List[str]] = None,
 ) -> ConfigNode:
     cfg = ConfigNode.from_dict(default)
-    cfg = _merge(cfg, {})  # env-interp pass happens on overrides only
     if config_file:
         cfg = _merge(cfg, load_yaml(config_file))
     if opts:
         cfg = apply_dotlist(cfg, opts)
-    return cfg
+    return _interpolate_tree(cfg)
 
 
 def write_config(cfg: ConfigNode, output_dir: str, name: str = "config.yaml") -> str:

@@ -46,7 +46,13 @@ def run_module(name, module, x, k2=22):
     def apply_fn(p, probe):
         inp = (probe,) + x[1:] if isinstance(x, tuple) else probe
         out = module.apply(p, inp)
-        return out[0] if isinstance(out, tuple) else out
+        # reduce over EVERY output: a partial return lets XLA dead-code-
+        # eliminate whole branches and fakes the timing
+        if isinstance(out, tuple):
+            s = sum(jnp.sum(o.astype(jnp.float32)) for o in out)
+        else:
+            s = jnp.sum(out.astype(jnp.float32))
+        return s.reshape(1, 1)
 
     probe = x[0] if isinstance(x, tuple) else x
     record(name, measure_steps(apply_fn, params, probe, k1=2, k2=k2) * 1e3)
