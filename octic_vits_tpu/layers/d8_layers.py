@@ -593,6 +593,12 @@ class BlockD8(nn.Module):
     use_pallas_gelu: bool = False
     use_pallas_linear: bool = False
     use_pallas_attention: bool = False
+    # Fold ls*y + residual into the proj/fc2 kernel epilogues. Measured a
+    # net LOSS on v5e (the epilogue routes proj through the pallas linear,
+    # which is slower than XLA's batched dot for C->C shapes, and re-DMAs
+    # the residual): model-level 188ms vs 163ms. Kept behind a flag until
+    # the linear kernel itself wins those shapes.
+    fuse_block_epilogues: bool = False
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
@@ -606,7 +612,8 @@ class BlockD8(nn.Module):
         # sits between the linear and the residual add, the proj/fc2 kernels
         # write  x + ls * y  directly (saves two HBM round trips per block).
         fuse_epilogue = (
-            self.use_pallas_linear
+            self.fuse_block_epilogues
+            and self.use_pallas_linear
             and self.layerscale_init is not None
             and self.drop == 0.0
             and (self.drop_path == 0.0 or deterministic)

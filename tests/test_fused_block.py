@@ -21,6 +21,7 @@ def test_fused_block_matches_unfused():
     fused = BlockD8(
         num_heads=4, qkv_bias=True, layerscale_init=0.3,
         use_pallas_linear=True, use_pallas_attention=True,
+        fuse_block_epilogues=True,
     )
     variables = base.init(jax.random.PRNGKey(0), xs)
     v2 = fused.init(jax.random.PRNGKey(0), xs)
@@ -44,6 +45,7 @@ def test_fused_block_gradients():
     fused = BlockD8(
         num_heads=2, qkv_bias=True, layerscale_init=0.3,
         use_pallas_linear=True, use_pallas_attention=True,
+        fuse_block_epilogues=True,
     )
     variables = base.init(jax.random.PRNGKey(0), xs)
 
@@ -72,5 +74,6 @@ def test_fused_block_equivariance():
     mod = BlockD8(
         num_heads=4, qkv_bias=True, layerscale_init=0.3,
         use_pallas_linear=True, use_pallas_attention=True,
+        fuse_block_epilogues=True,
     )
     check_iso_to_iso(init_and_bind(mod, xs), shape=(2, 7, 16))
