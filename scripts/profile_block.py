@@ -33,7 +33,12 @@ def run(name, module, x, method=None, k2=22):
     def apply_fn(p, a1):
         inp = (a1,) + x[1:] if isinstance(x, tuple) else a1
         out = module.apply(p, inp)
-        return out[0] if isinstance(out, tuple) else out
+        # reduce over EVERY output or XLA dead-code-eliminates branches
+        if isinstance(out, tuple):
+            s = sum(jnp.sum(o.astype(jnp.float32)) for o in out)
+        else:
+            s = jnp.sum(out.astype(jnp.float32))
+        return s.reshape(1, 1)
 
     probe = x[0] if isinstance(x, tuple) else x
     step = measure_steps(apply_fn, params, probe, k1=2, k2=k2)
