@@ -66,6 +66,78 @@ def knn_classify(
     return {k: jnp.concatenate(v, axis=0) for k, v in out.items()}
 
 
+def knn_classify_sharded(
+    train_features: Array,
+    train_labels: Array,
+    test_features: Array,
+    num_classes: int,
+    mesh,
+    ks: Sequence[int] = DEFAULT_KS,
+    temperature: float = DEFAULT_T,
+    batch_size: int = 1024,
+) -> Dict[int, Array]:
+    """Mesh-sharded k-NN: the train matrix is sharded over devices; each
+    device computes local top-k, then the per-device candidates are
+    all-gathered and re-top-k'd — the SPMD analog of the reference's
+    chunk/broadcast/gather/re-top-k merge (dinov2/eval/knn.py:100-185).
+
+    Pads the train set to a multiple of the device count."""
+    import numpy as np
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_dev = mesh.devices.size
+    axis_names = mesh.axis_names
+    ntr = train_features.shape[0]
+    pad = (-ntr) % n_dev
+    tf = np.asarray(train_features, np.float32)
+    tf = tf / (np.linalg.norm(tf, axis=-1, keepdims=True) + 1e-12)
+    tl = np.asarray(train_labels)
+    if pad:
+        tf = np.concatenate([tf, np.zeros((pad, tf.shape[1]), tf.dtype)])
+        tl = np.concatenate([tl, np.full((pad,), -1, tl.dtype)])  # never top-k
+    max_k = max(ks)
+
+    shard = NamedSharding(mesh, P(axis_names))
+    rep = NamedSharding(mesh, P())
+    tf_d = jax.device_put(jnp.asarray(tf), shard)
+    tl_d = jax.device_put(jnp.asarray(tl), shard)
+
+    def local_topk(queries, feats, labels):
+        sims = queries @ feats.T  # [B, ntr/D]
+        s, idx = jax.lax.top_k(sims, max_k)
+        lab = labels[idx]
+        # gather candidates from every device, merge, re-top-k
+        s_all = jax.lax.all_gather(s, axis_names, axis=1, tiled=True)
+        lab_all = jax.lax.all_gather(lab, axis_names, axis=1, tiled=True)
+        s_m, pos = jax.lax.top_k(s_all, max_k)
+        lab_m = jnp.take_along_axis(lab_all, pos, axis=1)
+        return s_m, lab_m
+
+    fn = shard_map(
+        local_topk, mesh=mesh,
+        in_specs=(P(), P(axis_names), P(axis_names)),
+        out_specs=(P(), P()),
+        check_rep=False,  # outputs are replicated by the tiled all_gather
+    )
+    fn = jax.jit(fn)
+
+    out = {k: [] for k in ks}
+    q = np.asarray(test_features, np.float32)
+    q = q / (np.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
+    for start in range(0, len(q), batch_size):
+        chunk = jax.device_put(jnp.asarray(q[start : start + batch_size]), rep)
+        sims, labels = fn(chunk, tf_d, tl_d)
+        weights = jnp.exp(sims / temperature)
+        valid = (labels >= 0).astype(weights.dtype)
+        onehot = jax.nn.one_hot(jnp.maximum(labels, 0), num_classes) * (
+            weights * valid
+        )[..., None]
+        for k in ks:
+            out[k].append(jnp.sum(onehot[:, :k], axis=1))
+    return {k: jnp.concatenate(v) for k, v in out.items()}
+
+
 def filter_n_per_class(
     features: np.ndarray, labels: np.ndarray, n_per_class: int, seed: int = 0
 ) -> Tuple[np.ndarray, np.ndarray]:
