@@ -646,12 +646,26 @@ class BlockD8(nn.Module):
             name="attn",
             **common,
         )
+        # Fused MLP residual branch: norm2+fc1+gelu+fc2+ls2+residual in ONE
+        # Pallas kernel — the hidden activations never touch HBM. Parameters
+        # stay owned by the norm2/mlp/ls2 modules (materialized via dummy
+        # calls, read back with get_variable), so the tree is unchanged.
+        fuse_mlp_branch = (
+            self.use_pallas_linear
+            and self.layerscale_init is not None
+            and self.drop == 0.0
+            and (self.drop_path == 0.0 or deterministic)
+            and not fuse_epilogue
+        )
+
         mlp = MlpD8(
             hidden_features=int(dim * self.mlp_ratio),
             use_bias=self.ffn_bias,
             drop=self.drop,
             use_pallas_gelu=self.use_pallas_gelu,
-            use_pallas_linear=self.use_pallas_linear,
+            # in fused-branch mode the module only materializes params via a
+            # dummy call — keep its own compute path eager
+            use_pallas_linear=self.use_pallas_linear and not fuse_mlp_branch,
             name="mlp",
             **common,
         )
@@ -667,6 +681,44 @@ class BlockD8(nn.Module):
                 norm2(xs), deterministic,
                 layerscale=alphas_of("ls2"), residual=xs,
             )
+
+        if fuse_mlp_branch:
+            from octic_vits_tpu.ops.pallas_mlp_branch import mlp_branch_d8
+
+            # attention half (ls1 + residual via XLA fusion)
+            ys = attn(norm1(xs), deterministic)
+            if self.layerscale_init is not None:
+                ys = scale_mod("ls1")(ys)
+            xs = tuple(x + y for x, y in zip(xs, ys))
+
+            # materialize norm2/mlp/ls2 params without running them on the
+            # real batch (dummy shapes; dead compute is DCE'd)
+            dt = xs[0].dtype
+            dummy = tuple(jnp.zeros((1, 1, c8), dt) for _ in range(4)) + (
+                jnp.zeros((1, 1, 2, 2 * c8), dt),
+            )
+            norm2(dummy)
+            mlp(dummy, True)
+            scale_mod("ls2")(dummy)
+            pn = self.get_variable("params", "norm2")["affine"]
+            pm = self.get_variable("params", "mlp")
+            pls = self.get_variable("params", "ls2")
+            h8 = pm["fc1"]["kernel_1d"].shape[-1]
+            zeros = lambda s: jnp.zeros(s, dt)
+            params11 = (
+                pn["alpha_1d"].astype(dt),
+                pn["alpha_e"].astype(dt),
+                pn.get("beta_a1", zeros((c8,))).astype(dt),
+                pm["fc1"]["kernel_1d"].astype(dt),
+                pm["fc1"]["kernel_e"].astype(dt),
+                pm["fc1"].get("bias_a1", zeros((h8,))).astype(dt),
+                pm["fc2"]["kernel_1d"].astype(dt),
+                pm["fc2"]["kernel_e"].astype(dt),
+                pm["fc2"].get("bias_a1", zeros((c8,))).astype(dt),
+                pls["alpha_1d"].astype(dt),
+                pls["alpha_e"].astype(dt),
+            )
+            return mlp_branch_d8(xs, params11)
 
         def maybe_scale(ys, name):
             if self.layerscale_init is None:

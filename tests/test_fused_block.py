@@ -39,6 +39,44 @@ def test_fused_block_matches_unfused():
         )
 
 
+def test_mlp_branch_block_matches_unfused():
+    """use_pallas_linear WITHOUT fuse_block_epilogues takes the fused
+    MLP-branch kernel path — must equal the baseline block."""
+    xs = _inputs()
+    base = BlockD8(num_heads=4, qkv_bias=True, layerscale_init=0.3)
+    fused = BlockD8(
+        num_heads=4, qkv_bias=True, layerscale_init=0.3,
+        use_pallas_linear=True, use_pallas_attention=True,
+    )
+    variables = base.init(jax.random.PRNGKey(0), xs)
+    v2 = fused.init(jax.random.PRNGKey(0), xs)
+    s1 = jax.tree.map(lambda x: x.shape, variables["params"])
+    s2 = jax.tree.map(lambda x: x.shape, v2["params"])
+    assert s1 == s2, f"param trees differ:\n{s1}\n{s2}"
+    ref = base.apply(variables, xs)
+    out = fused.apply(variables, xs)
+    for i in range(5):
+        np.testing.assert_allclose(
+            np.asarray(out[i]), np.asarray(ref[i]), atol=5e-5,
+            err_msg=f"slot {i}",
+        )
+
+    def loss(mod, v):
+        o = mod.apply(v, xs)
+        return sum(jnp.sum(jnp.sin(t)) for t in o)
+
+    g_ref = jax.grad(lambda v: loss(base, v))(variables)
+    g_out = jax.grad(lambda v: loss(fused, v))(variables)
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_ref),
+        jax.tree_util.tree_leaves_with_path(g_out),
+    ):
+        name = "/".join(str(getattr(k, "key", k)) for k in pa)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, err_msg=name
+        )
+
+
 def test_fused_block_gradients():
     xs = _inputs(b=1, n=5, c8=8)
     base = BlockD8(num_heads=2, qkv_bias=True, layerscale_init=0.3)
