@@ -599,6 +599,11 @@ class BlockD8(nn.Module):
     # the residual): model-level 188ms vs 163ms. Kept behind a flag until
     # the linear kernel itself wins those shapes.
     fuse_block_epilogues: bool = False
+    # fuse the whole MLP residual branch into one kernel. Faster in the
+    # single-block microbenchmark (4.24 vs ~5 ms) but SLOWER at model level
+    # under the scanned trunk (173 vs 163 ms) — per-module kernels pipeline
+    # better across scan iterations. Kept as a tested option.
+    fuse_mlp_branch: bool = False
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
@@ -651,7 +656,8 @@ class BlockD8(nn.Module):
         # stay owned by the norm2/mlp/ls2 modules (materialized via dummy
         # calls, read back with get_variable), so the tree is unchanged.
         fuse_mlp_branch = (
-            self.use_pallas_linear
+            self.fuse_mlp_branch
+            and self.use_pallas_linear
             and self.layerscale_init is not None
             and self.drop == 0.0
             and (self.drop_path == 0.0 or deterministic)

@@ -60,6 +60,7 @@ class OcticVisionTransformer(nn.Module):
     use_pallas_gelu: bool = False
     use_pallas_linear: bool = False
     use_pallas_attention: bool = False
+    fuse_mlp_branch: bool = False
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
@@ -132,6 +133,7 @@ class OcticVisionTransformer(nn.Module):
             use_pallas_gelu=self.use_pallas_gelu,
             use_pallas_linear=self.use_pallas_linear,
             use_pallas_attention=self.use_pallas_attention,
+            fuse_mlp_branch=self.fuse_mlp_branch,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )

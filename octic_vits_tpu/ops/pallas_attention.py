@@ -21,7 +21,6 @@ Two variants:
 from __future__ import annotations
 
 import functools
-import math
 from typing import Optional, Tuple
 
 import jax
