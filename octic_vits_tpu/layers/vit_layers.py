@@ -27,6 +27,7 @@ class Mlp(nn.Module):
     out_features: Optional[int] = None
     use_bias: bool = True
     drop: float = 0.0
+    use_pallas: bool = False  # fused fc1+GELU kernel (hidden stays in VMEM)
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
@@ -43,8 +44,26 @@ class Mlp(nn.Module):
             kernel_init=_trunc_normal(0.02),
             name=name,
         )
-        x = dense(hidden, "fc1")(x)
-        x = jax.nn.gelu(x, approximate=False)
+        if self.use_pallas:
+            from octic_vits_tpu.ops.pallas_dense import dense_gelu
+
+            dt = self.dtype or x.dtype
+            fc1 = nn.Dense(
+                hidden, use_bias=self.use_bias, dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                kernel_init=_trunc_normal(0.02), name="fc1",
+            )
+            # materialize fc1's params with a dummy call, then run fused
+            fc1(jnp.zeros((1, 1, in_features), x.dtype))
+            p = self.get_variable("params", "fc1")
+            b = p.get("bias") if self.use_bias else None
+            x = dense_gelu(
+                x.astype(dt), p["kernel"].astype(dt),
+                None if b is None else b.astype(dt),
+            )
+        else:
+            x = dense(hidden, "fc1")(x)
+            x = jax.nn.gelu(x, approximate=False)
         x = nn.Dropout(self.drop)(x, deterministic)
         x = dense(out, "fc2")(x)
         x = nn.Dropout(self.drop)(x, deterministic)
@@ -169,6 +188,7 @@ class Block(nn.Module):
     norm_eps: float = 1e-6
     ffn_layer: str = "mlp"
     use_pallas_attention: bool = False
+    use_pallas_mlp: bool = False
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
@@ -217,6 +237,7 @@ class Block(nn.Module):
                 hidden_features=int(dim * self.mlp_ratio),
                 use_bias=self.ffn_bias,
                 drop=self.drop,
+                use_pallas=self.use_pallas_mlp,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name="mlp",

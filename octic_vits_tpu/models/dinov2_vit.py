@@ -41,6 +41,7 @@ class DinoVisionTransformer(nn.Module):
     num_register_tokens: int = 0
     ffn_layer: str = "mlp"
     use_pallas_attention: bool = False
+    use_pallas_mlp: bool = False
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
@@ -81,6 +82,7 @@ class DinoVisionTransformer(nn.Module):
                 norm_eps=1e-6,
                 ffn_layer=self.ffn_layer,
                 use_pallas_attention=self.use_pallas_attention,
+                use_pallas_mlp=self.use_pallas_mlp,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"blocks_{i}",

@@ -60,6 +60,7 @@ class OcticVisionTransformer(nn.Module):
     use_pallas_gelu: bool = False
     use_pallas_linear: bool = False
     use_pallas_attention: bool = False
+    use_pallas_std_mlp: bool = False
     fuse_mlp_branch: bool = False
     dtype: Any = None
     param_dtype: Any = jnp.float32
@@ -149,6 +150,7 @@ class OcticVisionTransformer(nn.Module):
             layerscale_init=self.init_scale,
             norm_eps=1e-6,
             use_pallas_attention=self.use_pallas_attention,
+            use_pallas_mlp=self.use_pallas_std_mlp,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )

@@ -40,6 +40,7 @@ class VisionTransformer(nn.Module):
     scan_blocks: bool = False
     remat: bool = False
     use_pallas_attention: bool = False
+    use_pallas_mlp: bool = False
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
@@ -67,6 +68,7 @@ class VisionTransformer(nn.Module):
             layerscale_init=self.init_scale,
             norm_eps=1e-6,
             use_pallas_attention=self.use_pallas_attention,
+            use_pallas_mlp=self.use_pallas_mlp,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )
