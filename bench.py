@@ -47,13 +47,16 @@ def _child(which: str) -> None:
     on_tpu = jax.default_backend() not in ("cpu",)
     if which == "hybrid":
         model = OcticVisionTransformer(
-            use_pallas_attention=on_tpu, use_pallas_linear=on_tpu, **common
+            use_pallas_attention=on_tpu, use_pallas_linear=on_tpu,
+            use_pallas_std_mlp=on_tpu, **common
         )
     else:
-        # the baseline gets the same generic fused attention kernel —
+        # the baseline gets the same generic fused kernels —
         # apples-to-apples, like the reference benching both models under
         # torch.compile (reference: experiments/complexity.py:40-56)
-        model = VisionTransformer(use_pallas_attention=on_tpu, **common)
+        model = VisionTransformer(
+            use_pallas_attention=on_tpu, use_pallas_mlp=on_tpu, **common
+        )
     images = jnp.zeros((BATCH, IMG, IMG, 3), jnp.bfloat16)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), images)
     step = measure_steps(model.apply, params, images)
