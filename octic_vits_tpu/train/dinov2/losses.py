@@ -129,7 +129,13 @@ def ibot_patch_loss_dense(
 
 def koleo_loss(student_cls: Array, eps: float = 1e-8) -> Array:
     """Kozachenko-Leonenko nearest-neighbor entropy regularizer, fp32
-    (reference: koleo_loss.py:18-48)."""
+    (reference: koleo_loss.py:18-48).
+
+    Semantics note: the reference computes nearest neighbors within each
+    GPU's local batch; under pjit this computes them over the GLOBAL batch
+    (more negatives, one small all-gather of the cls features). Per-device
+    local semantics can be recovered with shard_map if exact parity of the
+    regularizer's batch scope ever matters."""
     x = student_cls.astype(jnp.float32)
     x = x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + eps)
     dots = x @ x.T
