@@ -29,7 +29,7 @@ def _kernel(x, w, b, o, *, use_bias: bool):
     )
     if use_bias:
         acc = acc + b[0].astype(jnp.float32)
-    o[0] = _gelu_exact(acc).astype(o.dtype)
+    o[0] = _gelu_exact(acc, cheap=o.dtype == jnp.bfloat16).astype(o.dtype)
 
 
 def _row_tile(m: int, c: int, f: int, itemsize: int) -> int:

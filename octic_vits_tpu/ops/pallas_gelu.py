@@ -55,12 +55,28 @@ def _erf(x):
     return jnp.sign(x) * y
 
 
-def _gelu_exact(u):
-    return 0.5 * u * (1.0 + _erf(u * _INV_SQRT2))
+def _erf_cheap(x):
+    """erf via Abramowitz-Stegun 7.1.27: NO transcendentals (the exp in
+    7.1.26 dominates VPU time — fc1+GELU profiled at ~1 ms/block).
+    Max abs error 5e-4 — far below bf16 output quantization (~4e-3), so
+    this is the bf16-path approximation."""
+    a1, a2, a3, a4 = 0.278393, 0.230389, 0.000972, 0.078108
+    ax = jnp.abs(x)
+    ax2 = ax * ax
+    d = 1.0 + a1 * ax + a2 * ax2 + a3 * ax2 * ax + a4 * ax2 * ax2
+    d2 = d * d
+    y = 1.0 - 1.0 / (d2 * d2)
+    return jnp.sign(x) * y
 
 
-def _gelu_grad(u):
-    cdf = 0.5 * (1.0 + _erf(u * _INV_SQRT2))
+def _gelu_exact(u, cheap: bool = False):
+    e = _erf_cheap if cheap else _erf
+    return 0.5 * u * (1.0 + e(u * _INV_SQRT2))
+
+
+def _gelu_grad(u, cheap: bool = False):
+    e = _erf_cheap if cheap else _erf
+    cdf = 0.5 * (1.0 + e(u * _INV_SQRT2))
     pdf = _INV_SQRT2PI * jnp.exp(-0.5 * u * u)
     return cdf + u * pdf
 
@@ -80,11 +96,12 @@ def _merge_e_flat(e11, e12, e21, e22):
 
 def _fwd_kernel(a1, a2, b1, b2, ef, oa1, oa2, ob1, ob2, oef):
     dtype = a1.dtype
+    cheap = dtype == jnp.bfloat16
     f32 = lambda x: x[...].astype(jnp.float32)
     e11, e12, e21, e22 = _split_e_flat(f32(ef))
     xs = (f32(a1), f32(a2), f32(b1), f32(b2), e11, e21, e12, e22)
     reg = isotypic_to_regular(xs)
-    act = tuple(_gelu_exact(u) for u in reg)
+    act = tuple(_gelu_exact(u, cheap) for u in reg)
     y = regular_to_isotypic(act)
     oa1[...] = y[0].astype(dtype)
     oa2[...] = y[1].astype(dtype)
@@ -106,7 +123,8 @@ def _bwd_kernel(a1, a2, b1, b2, ef, g1, g2, g3, g4, gef,
     gs = (f32(g1), f32(g2), f32(g3), f32(g4), h11, h21, h12, h22)
     v = isotypic_to_regular(gs)
 
-    prod = tuple(_gelu_grad(ui) * vi for ui, vi in zip(u, v))
+    cheap = dtype == jnp.bfloat16
+    prod = tuple(_gelu_grad(ui, cheap) * vi for ui, vi in zip(u, v))
     d = regular_to_isotypic(prod)
     da1[...] = d[0].astype(dtype)
     da2[...] = d[1].astype(dtype)

@@ -34,9 +34,9 @@ from octic_vits_tpu.ops.pallas_gelu import _gelu_exact, _gelu_grad
 Array = jnp.ndarray
 
 
-def _apply_gelu_tiles(a1, a2, b1, b2, e11, e12, e21, e22):
+def _apply_gelu_tiles(a1, a2, b1, b2, e11, e12, e21, e22, cheap=False):
     reg = isotypic_to_regular((a1, a2, b1, b2, e11, e21, e12, e22))
-    act = tuple(_gelu_exact(u) for u in reg)
+    act = tuple(_gelu_exact(u, cheap) for u in reg)
     iso = regular_to_isotypic(act)
     # back to (a1,a2,b1,b2,e11,e12,e21,e22) ordering
     return iso[0], iso[1], iso[2], iso[3], iso[4], iso[6], iso[5], iso[7]
@@ -78,7 +78,7 @@ def _kernel(x1, xef, w1, we, bias, *rest, fuse_gelu: bool, use_bias: bool,
     if fuse_gelu:
         a1, a2, b1, b2 = outs1
         a1, a2, b1, b2, e11, e12, e21, e22 = _apply_gelu_tiles(
-            a1, a2, b1, b2, e11, e12, e21, e22
+            a1, a2, b1, b2, e11, e12, e21, e22, cheap=dtype == jnp.bfloat16
         )
         outs1 = [a1, a2, b1, b2]
 

@@ -102,7 +102,8 @@ def _mlp_branch_kernel(
     e11, e12 = he[0][:, :h8], he[0][:, h8:]
     e21, e22 = he[1][:, :h8], he[1][:, h8:]
     a1g, a2g, b1g, b2g, e11, e12, e21, e22 = _apply_gelu_tiles(
-        h1[0], h1[1], h1[2], h1[3], e11, e12, e21, e22
+        h1[0], h1[1], h1[2], h1[3], e11, e12, e21, e22,
+        cheap=dtype == jnp.bfloat16,
     )
 
     # fc2
