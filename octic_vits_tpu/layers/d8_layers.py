@@ -512,15 +512,19 @@ class AttentionD8(nn.Module):
         ):
             from octic_vits_tpu.ops.pallas_attention import octic_attention
 
-            ef = qkvs[4].reshape(b, n, 2 * 3 * (c // 4))
-            o1, o2, o3, o4, oef = octic_attention(
-                qkvs[0], qkvs[1], qkvs[2], qkvs[3], ef, h
+            # split the packed-E rows into separate arrays: flattening
+            # [B,N,2,*] costs a tiled-layout relayout (~0.67 ms/block)
+            e0 = qkvs[4][:, :, 0]
+            e1 = qkvs[4][:, :, 1]
+            o1, o2, o3, o4, oe0, oe1 = octic_attention(
+                qkvs[0], qkvs[1], qkvs[2], qkvs[3], e0, e1, h
             )
+            oe = jnp.stack((oe0, oe1), axis=2)
             ys = LinearD8(
                 c, use_bias=self.proj_bias,
                 use_pallas=layerscale is not None, name="proj", **common,
             )(
-                (o1, o2, o3, o4, oef.reshape(b, n, 2, c // 4)),
+                (o1, o2, o3, o4, oe),
                 layerscale=layerscale, residual=residual,
             )
             return DropoutD8(self.proj_drop)(ys, deterministic)

@@ -12,10 +12,12 @@ write outputs back in natural layout. Backward kernels recompute the probs
 
 Two variants:
 * `standard_attention(qkv)`: qkv [B, N, 3*C] with feature order (3, H, dh).
-* `octic_attention(a1..b2, ef)`: the five LinearD8 qkv outputs — four
-  [B, N, 3C/8] with order (3, H, d1) and E-flat [B, N, 2 * 3C/4] with order
-  (row, 3, H, de). Head channel assignment identical to the reference
-  interleave (reference: octic_vits/d8_layers.py:623-656).
+* `octic_attention(a1..b2, e0, e1)`: the LinearD8 qkv outputs — four
+  [B, N, 3C/8] with order (3, H, d1) and the two packed-E rows as separate
+  [B, N, 3C/4] arrays (order (3, H, de)); splitting the rows outside avoids
+  a 0.67 ms/block tiled-layout relayout that flattening [B,N,2,*] costs.
+  Head channel assignment identical to the reference interleave
+  (reference: octic_vits/d8_layers.py:623-656).
 """
 
 from __future__ import annotations
@@ -76,23 +78,21 @@ def _attn_head_bwd(q, k, v, g, scale, dtype):
 def _octic_slices(refs, h, num_heads, d1, de, s_idx):
     """Per-head (q|k|v chosen by s_idx) channel slices from the natural
     layouts; returns list of [N, *] pieces in reference head order."""
-    a1, a2, b1, b2, ef = refs
+    a1, a2, b1, b2, e0, e1 = refs
     pieces = []
     for arr in (a1, a2, b1, b2):
         off = (s_idx * num_heads + h) * d1
         pieces.append(arr[0][:, off : off + d1])
-    c34 = ef.shape[-1] // 2  # 3C/4 per E row
-    for r in range(2):
-        off = r * c34 + (s_idx * num_heads + h) * de
-        pieces.append(ef[0][:, off : off + de])
+    off = (s_idx * num_heads + h) * de
+    pieces.append(e0[0][:, off : off + de])
+    pieces.append(e1[0][:, off : off + de])
     return pieces
 
 
-def _octic_fwd_kernel(a1, a2, b1, b2, ef, o1, o2, o3, o4, oe,
+def _octic_fwd_kernel(a1, a2, b1, b2, e0, e1, o1, o2, o3, o4, oe0, oe1,
                       *, num_heads, d1, de, scale):
     dtype = a1.dtype
-    refs = (a1, a2, b1, b2, ef)
-    c14 = oe.shape[-1] // 2
+    refs = (a1, a2, b1, b2, e0, e1)
     for h in range(num_heads):
         q = jnp.concatenate(_octic_slices(refs, h, num_heads, d1, de, 0), axis=1)
         k = jnp.concatenate(_octic_slices(refs, h, num_heads, d1, de, 1), axis=1)
@@ -103,19 +103,18 @@ def _octic_fwd_kernel(a1, a2, b1, b2, ef, o1, o2, o3, o4, oe,
             outs[g][0, :, h * d1 : (h + 1) * d1] = (
                 out[:, g * d1 : (g + 1) * d1].astype(dtype)
             )
-        for r in range(2):
+        for r, oref in ((0, oe0), (1, oe1)):
             off = 4 * d1 + r * de
-            oe[0, :, r * c14 + h * de : r * c14 + (h + 1) * de] = (
+            oref[0, :, h * de : (h + 1) * de] = (
                 out[:, off : off + de].astype(dtype)
             )
 
 
-def _octic_bwd_kernel(a1, a2, b1, b2, ef, g1, g2, g3, g4, gef,
-                      da1, da2, db1, db2, def_,
+def _octic_bwd_kernel(a1, a2, b1, b2, e0, e1, g1, g2, g3, g4, ge0, ge1,
+                      da1, da2, db1, db2, de0_, de1_,
                       *, num_heads, d1, de, scale):
     dtype = a1.dtype
-    refs = (a1, a2, b1, b2, ef)
-    c14 = gef.shape[-1] // 2
+    refs = (a1, a2, b1, b2, e0, e1)
     # every (s_idx, head) writes a disjoint column slice; together they
     # cover each output exactly once — no accumulation needed
     for h in range(num_heads):
@@ -126,21 +125,20 @@ def _octic_bwd_kernel(a1, a2, b1, b2, ef, g1, g2, g3, g4, gef,
         g_pieces = []
         for arr in (g1, g2, g3, g4):
             g_pieces.append(arr[0][:, h * d1 : (h + 1) * d1])
-        for r in range(2):
-            g_pieces.append(gef[0][:, r * c14 + h * de : r * c14 + (h + 1) * de])
+        for arr in (ge0, ge1):
+            g_pieces.append(arr[0][:, h * de : (h + 1) * de])
         g = jnp.concatenate(g_pieces, axis=1)
         dq, dk, dv = _attn_head_bwd(q, k, v, g, scale, dtype)
         # scatter back into the (3, H, d) qkv layouts (disjoint slices)
-        c34 = def_.shape[-1] // 2
         for s_idx, dmat in ((0, dq), (1, dk), (2, dv)):
             col = 0
             for arr in (da1, da2, db1, db2):
                 off = (s_idx * num_heads + h) * d1
                 arr[0, :, off : off + d1] = dmat[:, col : col + d1].astype(dtype)
                 col += d1
-            for r in range(2):
-                off = r * c34 + (s_idx * num_heads + h) * de
-                def_[0, :, off : off + de] = dmat[:, col : col + de].astype(dtype)
+            for arr in (de0_, de1_):
+                off = (s_idx * num_heads + h) * de
+                arr[0, :, off : off + de] = dmat[:, col : col + de].astype(dtype)
                 col += de
 
 
@@ -167,18 +165,18 @@ def _auto_interpret(flag):
     return jax.default_backend() == "cpu" if flag is None else flag
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def octic_attention(a1, a2, b1, b2, ef, num_heads: int,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def octic_attention(a1, a2, b1, b2, e0, e1, num_heads: int,
                     interpret: Optional[bool] = None):
-    """Five qkv LinearD8 outputs -> five attention outputs (natural layouts).
+    """LinearD8 qkv outputs -> attention outputs (natural layouts).
 
     a1..b2: [B, N, 3C/8] (feature order (3, H, d1));
-    ef:     [B, N, 2*(3C/4)] flat E rows (order (row, 3, H, de)).
-    Returns (o1..o4 [B,N,C/8], oe_flat [B,N,2*(C/4)])."""
-    return _octic_fwd(a1, a2, b1, b2, ef, num_heads, interpret)
+    e0, e1: [B, N, 3C/4] — the two packed-E rows (order (3, H, de)).
+    Returns (o1..o4 [B,N,C/8], oe0, oe1 [B,N,C/4])."""
+    return _octic_fwd(a1, a2, b1, b2, e0, e1, num_heads, interpret)
 
 
-def _octic_fwd(a1, a2, b1, b2, ef, num_heads, interpret):
+def _octic_fwd(a1, a2, b1, b2, e0, e1, num_heads, interpret):
     b, n, w = a1.shape
     c8 = w // 3
     c = 8 * c8
@@ -187,23 +185,24 @@ def _octic_fwd(a1, a2, b1, b2, ef, num_heads, interpret):
     scale = (c // num_heads) ** -0.5
     shapes = (
         *(jax.ShapeDtypeStruct((b, n, c8), a1.dtype) for _ in range(4)),
-        jax.ShapeDtypeStruct((b, n, 2 * (2 * c8)), a1.dtype),
+        jax.ShapeDtypeStruct((b, n, 2 * c8), a1.dtype),
+        jax.ShapeDtypeStruct((b, n, 2 * c8), a1.dtype),
     )
     kwargs = dict(num_heads=num_heads, d1=d1, de=de, scale=scale)
     return _octic_call(
-        _octic_fwd_kernel, 5, shapes, (a1, a2, b1, b2, ef), b,
+        _octic_fwd_kernel, 6, shapes, (a1, a2, b1, b2, e0, e1), b,
         _auto_interpret(interpret), kwargs,
     )
 
 
-def _octic_fwd_rule(a1, a2, b1, b2, ef, num_heads, interpret):
-    out = _octic_fwd(a1, a2, b1, b2, ef, num_heads, interpret)
-    return out, (a1, a2, b1, b2, ef)
+def _octic_fwd_rule(a1, a2, b1, b2, e0, e1, num_heads, interpret):
+    out = _octic_fwd(a1, a2, b1, b2, e0, e1, num_heads, interpret)
+    return out, (a1, a2, b1, b2, e0, e1)
 
 
 def _octic_bwd_rule(num_heads, interpret, res, cots):
-    a1, a2, b1, b2, ef = res
-    g1, g2, g3, g4, gef = cots
+    a1, a2, b1, b2, e0, e1 = res
+    g1, g2, g3, g4, ge0, ge1 = cots
     b, n, w = a1.shape
     c8 = w // 3
     c = 8 * c8
@@ -211,11 +210,11 @@ def _octic_bwd_rule(num_heads, interpret, res, cots):
     de = 2 * c8 // num_heads
     scale = (c // num_heads) ** -0.5
     shapes = tuple(jax.ShapeDtypeStruct(x.shape, x.dtype)
-                   for x in (a1, a2, b1, b2, ef))
+                   for x in (a1, a2, b1, b2, e0, e1))
     kwargs = dict(num_heads=num_heads, d1=d1, de=de, scale=scale)
     douts = _octic_call(
-        _octic_bwd_kernel, 5, shapes,
-        (a1, a2, b1, b2, ef, g1, g2, g3, g4, gef), b,
+        _octic_bwd_kernel, 6, shapes,
+        (a1, a2, b1, b2, e0, e1, g1, g2, g3, g4, ge0, ge1), b,
         _auto_interpret(interpret), kwargs,
     )
     return douts

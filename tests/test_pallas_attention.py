@@ -69,9 +69,10 @@ def test_octic_attention_module_parity():
 
 def test_octic_attention_grads():
     b, n, c8, heads = 2, 5, 8, 2
-    keys = jax.random.split(jax.random.PRNGKey(0), 5)
+    keys = jax.random.split(jax.random.PRNGKey(0), 6)
     a = [jax.random.normal(keys[i], (b, n, 3 * c8)) for i in range(4)]
-    ef = jax.random.normal(keys[4], (b, n, 2 * 3 * 2 * c8))
+    e0 = jax.random.normal(keys[4], (b, n, 3 * 2 * c8))
+    e1 = jax.random.normal(keys[5], (b, n, 3 * 2 * c8))
 
     def loss(args, use_kernel):
         if use_kernel:
@@ -80,15 +81,16 @@ def test_octic_attention_grads():
             outs = _eager_octic(*args, num_heads=heads)
         return sum(jnp.sum(jnp.sin(o)) for o in outs)
 
-    def _eager_octic(a1, a2, b1, b2, ef_, num_heads):
+    def _eager_octic(a1, a2, b1, b2, e0_, e1_, num_heads):
         c = 8 * (a1.shape[-1] // 3)
         d1 = (c // 8) // num_heads
         de = (c // 4) // num_heads
-        e = ef_.reshape(b, n, 2, 3 * c // 4)
         ones = jnp.stack(
             [t.reshape(b, n, 3, num_heads, d1) for t in (a1, a2, b1, b2)], axis=3
         )
-        eq = e.reshape(b, n, 2, 3, num_heads, de)
+        eq = jnp.stack(
+            [t.reshape(b, n, 3, num_heads, de) for t in (e0_, e1_)], axis=2
+        )  # [B,N,2,3,H,de]
         q1, k1, v1 = (ones[:, :, i] for i in range(3))
         qe, ke, ve = (eq[:, :, :, i] for i in range(3))
         scale = (c // num_heads) ** -0.5
@@ -98,9 +100,10 @@ def test_octic_attention_grads():
         o1 = jnp.einsum("bhqk,bkghd->bqghd", p, v1)
         oe = jnp.einsum("bhqk,bkrhd->bqrhd", p, ve)
         outs = tuple(o1[:, :, g].reshape(b, n, c // 8) for g in range(4))
-        return outs + (oe.reshape(b, n, 2 * (c // 4)),)
+        return outs + (oe[:, :, 0].reshape(b, n, c // 4),
+                       oe[:, :, 1].reshape(b, n, c // 4))
 
-    args = (a[0], a[1], a[2], a[3], ef)
+    args = (a[0], a[1], a[2], a[3], e0, e1)
     gk = jax.grad(lambda t: loss(t, True))(args)
     ge = jax.grad(lambda t: loss(t, False))(args)
     for i, (x, y) in enumerate(zip(gk, ge)):
