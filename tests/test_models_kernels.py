@@ -1,0 +1,50 @@
+"""Whole-model checks with every fused kernel enabled (interpret mode):
+invariance must hold and outputs must match the kernel-free model."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from octic_vits_tpu.d8 import GROUP_ELEMENTS, image_space_group_action
+from octic_vits_tpu.models import OcticVisionTransformer
+
+IMG = (2, 32, 32, 3)
+
+KW = dict(
+    img_size=32, patch_size=8, embed_dim=64, depth=4, num_heads=2,
+    mlp_ratio=2.0, qkv_bias=True, invariant=True, num_classes=10,
+    init_scale=1.0,
+)
+
+
+def nhwc_group_action(g, img):
+    return jnp.moveaxis(
+        image_space_group_action(g, jnp.moveaxis(img, -1, 1)), 1, -1
+    )
+
+
+def test_kernel_model_matches_plain_and_is_invariant():
+    img = jax.random.normal(jax.random.PRNGKey(0), IMG)
+    plain = OcticVisionTransformer(**KW)
+    kernels = OcticVisionTransformer(
+        **KW,
+        use_pallas_attention=True, use_pallas_linear=True,
+        use_pallas_std_mlp=True,
+    )
+    variables = plain.init(jax.random.PRNGKey(1), img)
+    ref = plain.apply(variables, img)
+    out = kernels.apply(variables, img)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+    apply_fn = functools.partial(kernels.apply, variables)
+    base = apply_fn(img)
+    for g in GROUP_ELEMENTS[1:]:
+        rot = apply_fn(nhwc_group_action(g, img))
+        np.testing.assert_allclose(
+            np.asarray(base), np.asarray(rot), atol=2e-4, err_msg=f"g={g}"
+        )
+    # negative control
+    flipped = apply_fn(img[..., ::-1])
+    assert float(jnp.abs(base - flipped).max()) > 1e-3
