@@ -39,10 +39,29 @@ def _softmax_rows(s):
     return p / jnp.sum(p, axis=1, keepdims=True)
 
 
+def _probs_unnormalized(s, out_dtype):
+    """Unnormalized probs in out_dtype plus the f32 row normalizer.
+
+    bf16 path: the exp runs on bf16 vregs (half the VPU passes) and the
+    [N, N] divide disappears — normalization is folded into a [N, dh]
+    output rescale. Per-element relative error ~2^-8 on unnormalized
+    probs, which averages down ~1/sqrt(N) in the weighted mean — below
+    bf16 activation rounding. f32 inputs keep the exact path (oracle /
+    parity-test path), mirroring the cheap-erf convention in pallas_gelu.
+    """
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp((s - m).astype(out_dtype))
+    inv = 1.0 / jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
+    return p, inv
+
+
 def _attn_head(q, k, v, scale, out_dtype):
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
+    if out_dtype == jnp.bfloat16:
+        p, inv = _probs_unnormalized(s, out_dtype)
+        return jnp.dot(p, v, preferred_element_type=jnp.float32) * inv
     p = _softmax_rows(s).astype(out_dtype)
     return jnp.dot(p, v, preferred_element_type=jnp.float32)
 
@@ -52,6 +71,28 @@ def _attn_head_bwd(q, k, v, g, scale, dtype):
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
+    if dtype == jnp.bfloat16:
+        # unnormalized probs; fold the row normalizer `inv` into g (for
+        # dv) and into the ds row scaling — no [N, N] divide anywhere
+        ph, inv = _probs_unnormalized(s, dtype)
+        ginv = (g.astype(jnp.float32) * inv).astype(dtype)
+        dv = jax.lax.dot_general(
+            ph, ginv, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            g.astype(dtype), v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        p32 = ph.astype(jnp.float32) * inv
+        row = jnp.sum(dp * p32, axis=1, keepdims=True)
+        ds = (p32 * (dp - row) * scale).astype(dtype)
+        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return dq, dk, dv
     p = _softmax_rows(s)
     pc = p.astype(dtype)
     g32 = g.astype(dtype)

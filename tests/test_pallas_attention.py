@@ -43,6 +43,37 @@ def test_standard_attention_grad():
     np.testing.assert_allclose(np.asarray(gk), np.asarray(ge), atol=1e-4)
 
 
+def test_standard_attention_bf16_cheap_softmax():
+    """bf16 inputs take the unnormalized-probs path; outputs must stay
+    within bf16 rounding of the exact f32 softmax, fwd and bwd."""
+    b, n, h, dh = 2, 33, 4, 16
+    c = h * dh
+    qkv32 = jax.random.normal(jax.random.PRNGKey(3), (b, n, 3 * c))
+
+    def eager(t):
+        r = t.reshape(b, n, 3, h, dh)
+        q, k, v = r[:, :, 0], r[:, :, 1], r[:, :, 2]
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * dh**-0.5
+        probs = jax.nn.softmax(logits, -1)
+        return jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, n, c)
+
+    ref = eager(qkv32)
+    out = standard_attention(qkv32.astype(jnp.bfloat16), h, True)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), atol=3e-2, rtol=3e-2
+    )
+
+    gref = jax.grad(lambda t: jnp.sum(jnp.sin(eager(t))))(qkv32)
+    gout = jax.grad(
+        lambda t: jnp.sum(jnp.sin(standard_attention(t, h, True)
+                                  .astype(jnp.float32)))
+    )(qkv32.astype(jnp.bfloat16))
+    np.testing.assert_allclose(
+        np.asarray(gout, np.float32), np.asarray(gref), atol=5e-2, rtol=5e-2
+    )
+
+
 def _module_outputs(use_pallas, xs, heads, variables):
     attn = AttentionD8(num_heads=heads, qkv_bias=True,
                        use_pallas_attention=use_pallas)
