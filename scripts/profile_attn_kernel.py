@@ -123,6 +123,41 @@ def _aligned_all_variant(head_fn):
     return kernel
 
 
+def _wide_in_kernel(qkv, o1, o2, o3, o4, oe0, oe1):
+    """Wide interleaved qkv [N, 3C]: per head ONE 80-wide slice per q/k/v
+    (the standard kernel's cheap load pattern); octic scatter stores."""
+    dtype = qkv.dtype
+    for h in range(H):
+        q = qkv[0][:, (0 * H + h) * DH : (0 * H + h + 1) * DH]
+        k = qkv[0][:, (1 * H + h) * DH : (1 * H + h + 1) * DH]
+        v = qkv[0][:, (2 * H + h) * DH : (2 * H + h + 1) * DH]
+        out = _attn_head(q, k, v, SCALE, dtype)
+        outs = (o1, o2, o3, o4)
+        for g in range(4):
+            outs[g][0, :, h * D1 : (h + 1) * D1] = (
+                out[:, g * D1 : (g + 1) * D1].astype(dtype)
+            )
+        for r, oref in ((0, oe0), (1, oe1)):
+            off = 4 * D1 + r * DE
+            oref[0, :, h * DE : (h + 1) * DE] = (
+                out[:, off : off + DE].astype(dtype)
+            )
+
+
+def _interleave_wide(arrs):
+    """XLA-side column permutation: (a1,a2,b1,b2,e0,e1) per-irrep qkv
+    arrays -> ONE [B, N, 3C] with order (s, head, [a1|a2|b1|b2|e0|e1])."""
+    a1, a2, b1, b2, e0, e1 = arrs
+    pieces = []
+    for s in range(3):
+        for h in range(H):
+            for arr, d in ((a1, D1), (a2, D1), (b1, D1), (b2, D1),
+                           (e0, DE), (e1, DE)):
+                off = (s * H + h) * d
+                pieces.append(arr[:, :, off : off + d])
+    return jnp.concatenate(pieces, axis=2)
+
+
 def _call_synth(kernel, out_shapes, args):
     in_specs = [
         pl.BlockSpec((1,) + a.shape[1:], lambda b: (b, 0, 0),
@@ -202,10 +237,31 @@ def main():
     tcs = bench("aligned, cheap softmax", make_runner(_attn_head_cheapsm),
                 ones + es)
 
+    def run_wide(params, x):
+        arrs = _perturbed(params, x)
+        wide = _interleave_wide(arrs)
+        shapes = (
+            *(jax.ShapeDtypeStruct((B, N, C8), DT) for _ in range(4)),
+            jax.ShapeDtypeStruct((B, N, 2 * C8), DT),
+            jax.ShapeDtypeStruct((B, N, 2 * C8), DT),
+        )
+        outs = _call_synth(_wide_in_kernel, shapes, (wide,))
+        return jnp.stack([jnp.max(o) for o in outs])
+
+    def run_interleave_only(params, x):
+        arrs = _perturbed(params, x)
+        return jnp.max(_interleave_wide(arrs))
+
+    til = bench("xla interleave only", run_interleave_only, ones + es)
+    twd = bench("xla interleave + wide kernel", run_wide, ones + es)
+
     print()
     print(f"softmax share         : {(taa - tns)*1e6:9.1f} us")
     print(f"cheap-softmax floor   : {(tcs - t0)*1e6:9.1f} us "
           f"(vs f32 {(taa - t0)*1e6:.1f})")
+    print(f"interleave+wide net   : {(twd - t0)*1e6:9.1f} us "
+          f"(interleave alone {(til - t0)*1e6:.1f}) vs octic "
+          f"{(toc - t0)*1e6:.1f}")
     print(f"octic kernel net      : {(toc - t0)*1e6:9.1f} us")
     print(f"standard kernel net   : {(ts - t0)*1e6:9.1f} us")
     print(f"  (std perturbs 1 array of the SAME total bytes -> same floor)")
