@@ -265,6 +265,105 @@ octic_attention.defvjp(_octic_fwd_rule, _octic_bwd_rule)
 
 
 # ---------------------------------------------------------------------------
+# octic wide-qkv variant: qkv is ONE [B, N, 3C] array with per-(s, head)
+# contiguous [a1|a2|b1|b2|e0|e1] columns (produced by
+# pallas_linear.linear_d8_qkv_wide). Loads are the standard kernel's cheap
+# aligned pattern; outputs land in the natural per-irrep layouts.
+# ---------------------------------------------------------------------------
+
+
+def _octic_wide_fwd_kernel(qkv, o1, o2, o3, o4, oe0, oe1,
+                           *, num_heads, d1, de, scale):
+    dtype = qkv.dtype
+    dh = 4 * d1 + 2 * de
+    for h in range(num_heads):
+        q = qkv[0][:, (0 * num_heads + h) * dh : (0 * num_heads + h + 1) * dh]
+        k = qkv[0][:, (1 * num_heads + h) * dh : (1 * num_heads + h + 1) * dh]
+        v = qkv[0][:, (2 * num_heads + h) * dh : (2 * num_heads + h + 1) * dh]
+        out = _attn_head(q, k, v, scale, dtype)
+        outs = (o1, o2, o3, o4)
+        for g in range(4):
+            outs[g][0, :, h * d1 : (h + 1) * d1] = (
+                out[:, g * d1 : (g + 1) * d1].astype(dtype)
+            )
+        for r, oref in ((0, oe0), (1, oe1)):
+            off = 4 * d1 + r * de
+            oref[0, :, h * de : (h + 1) * de] = (
+                out[:, off : off + de].astype(dtype)
+            )
+
+
+def _octic_wide_bwd_kernel(qkv, g1, g2, g3, g4, ge0, ge1, dqkv,
+                           *, num_heads, d1, de, scale):
+    dtype = qkv.dtype
+    dh = 4 * d1 + 2 * de
+    for h in range(num_heads):
+        q = qkv[0][:, (0 * num_heads + h) * dh : (0 * num_heads + h + 1) * dh]
+        k = qkv[0][:, (1 * num_heads + h) * dh : (1 * num_heads + h + 1) * dh]
+        v = qkv[0][:, (2 * num_heads + h) * dh : (2 * num_heads + h + 1) * dh]
+        g_pieces = []
+        for arr in (g1, g2, g3, g4):
+            g_pieces.append(arr[0][:, h * d1 : (h + 1) * d1])
+        for arr in (ge0, ge1):
+            g_pieces.append(arr[0][:, h * de : (h + 1) * de])
+        g = jnp.concatenate(g_pieces, axis=1)
+        dq, dk, dv = _attn_head_bwd(q, k, v, g, scale, dtype)
+        for s_idx, dmat in ((0, dq), (1, dk), (2, dv)):
+            off = (s_idx * num_heads + h) * dh
+            dqkv[0, :, off : off + dh] = dmat.astype(dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def octic_attention_wide(qkv, num_heads: int,
+                         interpret: Optional[bool] = None):
+    """Wide interleaved qkv [B, N, 3C] -> attention outputs in natural
+    per-irrep layouts (o1..o4 [B,N,C/8], oe0, oe1 [B,N,C/4])."""
+    return _octic_wide_fwd(qkv, num_heads, interpret)
+
+
+def _octic_wide_params(qkv, num_heads):
+    b, n, w = qkv.shape
+    c = w // 3
+    c8 = c // 8
+    d1 = c8 // num_heads
+    de = 2 * c8 // num_heads
+    scale = (c // num_heads) ** -0.5
+    return b, n, c8, dict(num_heads=num_heads, d1=d1, de=de, scale=scale)
+
+
+def _octic_wide_fwd(qkv, num_heads, interpret):
+    b, n, c8, kwargs = _octic_wide_params(qkv, num_heads)
+    shapes = (
+        *(jax.ShapeDtypeStruct((b, n, c8), qkv.dtype) for _ in range(4)),
+        jax.ShapeDtypeStruct((b, n, 2 * c8), qkv.dtype),
+        jax.ShapeDtypeStruct((b, n, 2 * c8), qkv.dtype),
+    )
+    return _octic_call(
+        _octic_wide_fwd_kernel, 6, shapes, (qkv,), b,
+        _auto_interpret(interpret), kwargs,
+    )
+
+
+def _octic_wide_fwd_rule(qkv, num_heads, interpret):
+    return _octic_wide_fwd(qkv, num_heads, interpret), qkv
+
+
+def _octic_wide_bwd_rule(num_heads, interpret, qkv, cots):
+    b, n, c8, kwargs = _octic_wide_params(qkv, num_heads)
+    g1, g2, g3, g4, ge0, ge1 = cots
+    (dqkv,) = _octic_call(
+        _octic_wide_bwd_kernel, 1,
+        (jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),),
+        (qkv, g1, g2, g3, g4, ge0, ge1), b,
+        _auto_interpret(interpret), kwargs,
+    )
+    return (dqkv,)
+
+
+octic_attention_wide.defvjp(_octic_wide_fwd_rule, _octic_wide_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
 # standard variant
 # ---------------------------------------------------------------------------
 

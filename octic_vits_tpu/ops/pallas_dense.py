@@ -61,6 +61,43 @@ def _fwd(x, w, b, interpret):
     )(x.reshape(1, m, c), w, bb).reshape(m, f)
 
 
+def _col_tile(c: int, f: int, itemsize: int) -> int:
+    """Feature-axis tile so the resident weight block stays ~3MB."""
+    tf = (3 * 1024 * 1024) // max(c * itemsize, 1)
+    tf = max(128, (tf // 128) * 128)
+    return min(f, tf)
+
+
+def _fwd_3d(x, w, b, interpret):
+    """Shape-native path for x [B, N, C]: grid (B, F/tf), whole-N blocks.
+
+    Avoids the [B,N,C] <-> [B*N,C] wrapper reshapes, which XLA materializes
+    as real copies inside a scanned trunk (traced at 0.72 + 0.12 ms/block
+    for the standard half of hybrid ViT-H — BENCH.md round 2)."""
+    bsz, n, c = x.shape
+    f = w.shape[1]
+    use_bias = b is not None
+    bb = jnp.zeros((1, f), x.dtype) if b is None else b.reshape(1, f)
+    tf = _col_tile(c, f, x.dtype.itemsize)
+    return pl.pallas_call(
+        functools.partial(_kernel, use_bias=use_bias),
+        grid=(bsz, pl.cdiv(f, tf)),
+        in_specs=[
+            # constant over j: fetched once per batch row
+            pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, tf), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tf), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, tf), lambda i, j: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, n, f), x.dtype),
+        interpret=interpret,
+    )(x, w, bb)
+
+
 def _eager(x, w, b):
     y = jnp.dot(
         x.astype(jnp.float32), w.astype(jnp.float32)
@@ -76,6 +113,8 @@ def dense_gelu(x: Array, w: Array, b: Optional[Array],
     """gelu(x @ w + b) for x [..., C], w [C, F]."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if x.ndim == 3:
+        return _fwd_3d(x, w, b, interpret)
     lead = x.shape[:-1]
     m = 1
     for d in lead:

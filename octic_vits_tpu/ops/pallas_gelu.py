@@ -59,13 +59,21 @@ def _erf_cheap(x):
     """erf via Abramowitz-Stegun 7.1.27: NO transcendentals (the exp in
     7.1.26 dominates VPU time — fc1+GELU profiled at ~1 ms/block).
     Max abs error 5e-4 — far below bf16 output quantization (~4e-3), so
-    this is the bf16-path approximation."""
-    a1, a2, a3, a4 = 0.278393, 0.230389, 0.000972, 0.078108
+    this is the bf16-path approximation. Horner form: 4 fma + 3 mul +
+    1 reciprocal + abs/sign fixup."""
+    dt = x.dtype
+    a1 = jnp.asarray(0.278393, dt)
+    a2 = jnp.asarray(0.230389, dt)
+    a3 = jnp.asarray(0.000972, dt)
+    a4 = jnp.asarray(0.078108, dt)
+    one = jnp.asarray(1.0, dt)
     ax = jnp.abs(x)
-    ax2 = ax * ax
-    d = 1.0 + a1 * ax + a2 * ax2 + a3 * ax2 * ax + a4 * ax2 * ax2
+    d = one + ax * (a1 + ax * (a2 + ax * (a3 + ax * a4)))
     d2 = d * d
-    y = 1.0 - 1.0 / (d2 * d2)
+    y = one - one / (d2 * d2)
+    if dt == jnp.bfloat16:
+        # Mosaic has no bf16 vector compare; take the sign in f32
+        return jnp.sign(x.astype(jnp.float32)).astype(dt) * y
     return jnp.sign(x) * y
 
 

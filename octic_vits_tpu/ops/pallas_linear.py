@@ -35,6 +35,10 @@ Array = jnp.ndarray
 
 
 def _apply_gelu_tiles(a1, a2, b1, b2, e11, e12, e21, e22, cheap=False):
+    # NOTE (measured, round 2): casting these tiles to bf16 before the
+    # butterfly+gelu made fc1 SLOWER (0.92 -> 1.39 ms/blk traced) — generic
+    # bf16 VPU arithmetic is emulated with converts; only exp benefits
+    # (the attention fast-softmax). Keep the pipeline in f32.
     reg = isotypic_to_regular((a1, a2, b1, b2, e11, e21, e12, e22))
     act = tuple(_gelu_exact(u, cheap) for u in reg)
     iso = regular_to_isotypic(act)
@@ -269,6 +273,149 @@ def _bwd_rule(fuse_gelu, interpret, res, cot):
 
 
 linear_d8_fused.defvjp(_fwd_rule, _bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# wide-qkv mode: store ONE [M, 3C] output with (s, head, [a1|a2|b1|b2|e0|e1])
+# column order. The per-head interleave tax rides the linear's existing
+# stores, so the attention kernel degenerates to the standard kernel's
+# aligned load pattern (one dh-wide slice per q/k/v per head) — see
+# BENCH.md "why the ratio is 1.16" item 1.
+# ---------------------------------------------------------------------------
+
+
+def _wide_kernel(x1, xef, w1, we, bias, y, *, num_heads, use_bias):
+    dtype = y.dtype
+    f = w1.shape[-1]          # 3C/8
+    c = w1.shape[-2]
+    d1 = f // (3 * num_heads)
+    de = 2 * d1
+    outs1 = []
+    for g in range(4):
+        acc = jax.lax.dot_general(
+            x1[g], w1[g],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        outs1.append(acc)
+    if use_bias:
+        outs1[0] = outs1[0] + bias[0].astype(jnp.float32)
+    row0 = jax.lax.dot_general(
+        xef[:, : 2 * c], we[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    row1 = jax.lax.dot_general(
+        xef[:, 2 * c :], we[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # cast BEFORE the interleave: half the vregs to shuffle in bf16
+    outs1 = [o.astype(dtype) for o in outs1]
+    row0 = row0.astype(dtype)   # [TM, 2f]: the e0 array, (s, h, de) order
+    row1 = row1.astype(dtype)
+    pieces = []
+    for sh in range(3 * num_heads):
+        for o in outs1:
+            pieces.append(o[:, sh * d1 : (sh + 1) * d1])
+        pieces.append(row0[:, sh * de : (sh + 1) * de])
+        pieces.append(row1[:, sh * de : (sh + 1) * de])
+    y[...] = jnp.concatenate(pieces, axis=1)
+
+
+def _qkv_wide_fwd(x1, xef, w1, we, bias, num_heads, interpret):
+    m = x1.shape[1]
+    c = w1.shape[1]
+    f = w1.shape[2]
+    assert f % (3 * num_heads) == 0, (f, num_heads)
+    use_bias = bias is not None
+    if bias is None:
+        bias = jnp.zeros((1, f), x1.dtype)
+    else:
+        bias = bias.reshape(1, f)
+    tm = _row_tile(m, c, f, x1.dtype.itemsize)
+    grid = (pl.cdiv(m, tm),)
+    return pl.pallas_call(
+        functools.partial(_wide_kernel, num_heads=num_heads, use_bias=use_bias),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((4, tm, c), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 4 * c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, c, f), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * c, 2 * f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, 8 * f), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, 8 * f), x1.dtype),
+        interpret=interpret,
+    )(x1, xef, w1, we, bias)
+
+
+def uninterleave_wide(y, num_heads):
+    """XLA-side inverse of the wide store: [.., M, 3C] ->
+    (y1 [4, M, 3C/8], yef [M, 4*(3C/8)] = e11|e12|e21|e22)."""
+    lead = y.shape[:-1]
+    w = y.shape[-1]
+    f = w // 8
+    d1 = f // (3 * num_heads)
+    blocks = y.reshape(*lead, 3 * num_heads, 8 * d1)
+    ones = [
+        blocks[..., :, g * d1 : (g + 1) * d1].reshape(*lead, f)
+        for g in range(4)
+    ]
+    e0 = blocks[..., :, 4 * d1 : 6 * d1].reshape(*lead, 2 * f)
+    e1 = blocks[..., :, 6 * d1 : 8 * d1].reshape(*lead, 2 * f)
+    y1 = jnp.stack(ones)
+    yef = jnp.concatenate((e0, e1), axis=-1)
+    return y1, yef
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def linear_d8_qkv_wide(x1, xef, w1, we, bias, num_heads: int,
+                       interpret: Optional[bool] = None):
+    """Fused equivariant qkv linear with ONE wide interleaved output.
+
+    Inputs as `linear_d8_fused`; returns y [M, 3C] where the dh=C/H columns
+    of each (s in q|k|v, head) group are [a1|a2|b1|b2|e_row0|e_row1] — the
+    reference head-channel assignment (octic_vits/d8_layers.py:623-656)
+    stored contiguously."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _qkv_wide_fwd(x1, xef, w1, we, bias, num_heads, interpret)
+
+
+def _qkv_wide_fwd_rule(x1, xef, w1, we, bias, num_heads, interpret):
+    y = linear_d8_qkv_wide(x1, xef, w1, we, bias, num_heads, interpret)
+    return y, (x1, xef, w1, we, bias)
+
+
+def _qkv_wide_bwd_rule(num_heads, interpret, res, g):
+    x1, xef, w1, we, bias = res
+    c = w1.shape[1]
+    g1, gef = uninterleave_wide(g, num_heads)
+    g1 = g1.astype(jnp.float32)
+    gef = gef.astype(jnp.float32)
+    f = w1.shape[2]
+    x1f = x1.astype(jnp.float32)
+    dx1 = jnp.einsum("gmf,gcf->gmc", g1, w1.astype(jnp.float32))
+    dw1 = jnp.einsum("gmc,gmf->gcf", x1f, g1)
+    grow0, grow1 = gef[:, : 2 * f], gef[:, 2 * f :]
+    wef = we.astype(jnp.float32)
+    dxef = jnp.concatenate((grow0 @ wef.T, grow1 @ wef.T), axis=-1)
+    xef_f = xef.astype(jnp.float32)
+    dwe = xef_f[:, : 2 * c].T @ grow0 + xef_f[:, 2 * c :].T @ grow1
+    dbias = None if bias is None else jnp.sum(g1[0], axis=0).astype(bias.dtype)
+    return (
+        dx1.astype(x1.dtype),
+        dxef.astype(xef.dtype),
+        dw1.astype(w1.dtype),
+        dwe.astype(we.dtype),
+        dbias,
+    )
+
+
+linear_d8_qkv_wide.defvjp(_qkv_wide_fwd_rule, _qkv_wide_bwd_rule)
 
 
 def linear_d8_tuple(xs, w1, we, bias, fuse_gelu=False, interpret=None,

@@ -141,3 +141,84 @@ def test_octic_attention_grads():
         np.testing.assert_allclose(
             np.asarray(x), np.asarray(y), atol=1e-4, err_msg=f"arg {i}"
         )
+
+
+# ---------------------------------------------------------------------------
+# wide-qkv octic variant
+# ---------------------------------------------------------------------------
+
+
+def test_octic_wide_matches_octic():
+    from octic_vits_tpu.ops.pallas_attention import (
+        octic_attention, octic_attention_wide,
+    )
+    from octic_vits_tpu.ops.pallas_linear import linear_d8_qkv_wide
+    import jax
+
+    b, n, c8, h = 2, 12, 16, 2   # C = 128, d1 = 8, de = 16
+    ks = jax.random.split(jax.random.PRNGKey(3), 6)
+    ones = tuple(jax.random.normal(ks[i], (b, n, 3 * c8)) * 0.3
+                 for i in range(4))
+    es = tuple(jax.random.normal(ks[4 + i], (b, n, 6 * c8)) * 0.3
+               for i in range(2))
+
+    # assemble the wide layout via the (already-tested) linear store:
+    # identity weights so the linear is a pure re-layout
+    m = b * n
+    f = 3 * c8
+    eye1 = jnp.stack([jnp.eye(f)] * 4)[:, :, :]   # [4, f, f]
+    # inputs already have width f per irrep: treat them as x with c=f
+    x1 = jnp.stack([o.reshape(m, f) for o in ones])
+    xef = jnp.concatenate(
+        (es[0].reshape(m, 2 * f), es[1].reshape(m, 2 * f)), axis=-1
+    )
+    eye_e = jnp.eye(2 * f)
+    wide = linear_d8_qkv_wide(x1, xef, eye1, eye_e, None, h, True)
+    wide = wide.reshape(b, n, 8 * f)
+
+    want = octic_attention(*ones, *es, h, True)
+    got = octic_attention_wide(wide, h, True)
+    for i, (a, e) in enumerate(zip(got, want)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(e), atol=1e-5, err_msg=f"out {i}"
+        )
+
+
+def test_octic_wide_gradients_match():
+    from octic_vits_tpu.ops.pallas_attention import (
+        octic_attention, octic_attention_wide,
+    )
+    from octic_vits_tpu.ops.pallas_linear import (
+        linear_d8_qkv_wide, uninterleave_wide,
+    )
+    import jax
+
+    b, n, c8, h = 1, 8, 16, 2
+    ks = jax.random.split(jax.random.PRNGKey(7), 6)
+    ones = tuple(jax.random.normal(ks[i], (b, n, 3 * c8)) * 0.3
+                 for i in range(4))
+    es = tuple(jax.random.normal(ks[4 + i], (b, n, 6 * c8)) * 0.3
+               for i in range(2))
+    f = 3 * c8
+
+    def loss_wide(arrs):
+        m = b * n
+        x1 = jnp.stack([o.reshape(m, f) for o in arrs[:4]])
+        xef = jnp.concatenate(
+            (arrs[4].reshape(m, 2 * f), arrs[5].reshape(m, 2 * f)), axis=-1
+        )
+        eye1 = jnp.stack([jnp.eye(f)] * 4)
+        wide = linear_d8_qkv_wide(x1, xef, eye1, jnp.eye(2 * f), None, h, True)
+        outs = octic_attention_wide(wide.reshape(b, n, 8 * f), h, True)
+        return sum(jnp.sum(jnp.sin(o)) for o in outs)
+
+    def loss_ref(arrs):
+        outs = octic_attention(*arrs, h, True)
+        return sum(jnp.sum(jnp.sin(o)) for o in outs)
+
+    gw = jax.grad(loss_wide)(ones + es)
+    gr = jax.grad(loss_ref)(ones + es)
+    for i, (a, e) in enumerate(zip(gw, gr)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(e), atol=1e-4, err_msg=f"arg {i}"
+        )

@@ -101,3 +101,73 @@ def test_tuple_wrapper_fused_gelu_matches_layer_chain():
         np.testing.assert_allclose(
             np.asarray(out[i]), np.asarray(ref[i]), atol=1e-5, err_msg=f"slot {i}"
         )
+
+
+# ---------------------------------------------------------------------------
+# wide-qkv mode
+# ---------------------------------------------------------------------------
+
+
+def _interleave_ref(y1, yef, num_heads):
+    """Oracle interleave: (s, head, [a1|a2|b1|b2|e0|e1]) column order."""
+    f = y1.shape[-1]
+    d1 = f // (3 * num_heads)
+    de = 2 * d1
+    e0, e1 = yef[:, : 2 * f], yef[:, 2 * f :]
+    pieces = []
+    for sh in range(3 * num_heads):
+        for g in range(4):
+            pieces.append(y1[g][:, sh * d1 : (sh + 1) * d1])
+        pieces.append(e0[:, sh * de : (sh + 1) * de])
+        pieces.append(e1[:, sh * de : (sh + 1) * de])
+    return jnp.concatenate(pieces, axis=1)
+
+
+def test_qkv_wide_matches_interleaved_tuple():
+    from octic_vits_tpu.ops.pallas_linear import linear_d8_qkv_wide
+
+    x1, xef, w1, we, b = make_inputs(m=24, c=16, f=24)
+    h = 2
+    y1, yef = linear_d8_fused(x1, xef, w1, we, b, None, None, None, None,
+                              False, True)
+    want = _interleave_ref(np.asarray(y1), np.asarray(yef), h)
+    got = linear_d8_qkv_wide(x1, xef, w1, we, b, h, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_qkv_wide_uninterleave_roundtrip():
+    from octic_vits_tpu.ops.pallas_linear import (
+        linear_d8_qkv_wide, uninterleave_wide,
+    )
+
+    x1, xef, w1, we, b = make_inputs(m=16, c=16, f=24)
+    h = 2
+    y1, yef = linear_d8_fused(x1, xef, w1, we, b, None, None, None, None,
+                              False, True)
+    wide = linear_d8_qkv_wide(x1, xef, w1, we, b, h, True)
+    r1, ref = uninterleave_wide(wide, h)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(y1), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(yef), atol=2e-5)
+
+
+def test_qkv_wide_gradients_match_tuple_path():
+    from octic_vits_tpu.ops.pallas_linear import linear_d8_qkv_wide
+
+    x1, xef, w1, we, b = make_inputs(m=16, c=16, f=24)
+    h = 2
+
+    def loss_wide(args):
+        y = linear_d8_qkv_wide(*args, h, True)
+        return jnp.sum(jnp.sin(y))
+
+    def loss_tuple(args):
+        y1, yef = linear_d8_fused(*args, None, None, None, None, False, True)
+        y = _interleave_ref(y1, yef, h)
+        return jnp.sum(jnp.sin(y))
+
+    gw = jax.grad(loss_wide)((x1, xef, w1, we, b))
+    gt = jax.grad(loss_tuple)((x1, xef, w1, we, b))
+    for i, (a, e) in enumerate(zip(gw, gt)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(e), atol=1e-4, err_msg=f"arg={i}"
+        )
