@@ -24,11 +24,17 @@ import numpy as np
 
 Array = jnp.ndarray
 
-DEFAULT_LRS = tuple(
-    base * mult
-    for base in (1e-5, 1e-4, 1e-3, 1e-2, 1e-1)
-    for mult in (1.0, 2.0, 5.0)
-)[:13]  # 13 learning rates like the reference grid
+# The reference's 13-lr grid, verbatim (dinov2/eval/linear.py:147):
+# (1,2,5) x decades 1e-5..5e-2, plus 1e-1.
+DEFAULT_LRS = (
+    1e-5, 2e-5, 5e-5, 1e-4, 2e-4, 5e-4,
+    1e-3, 2e-3, 5e-3, 1e-2, 2e-2, 5e-2, 1e-1,
+)
+
+
+def scale_lr(lr: float, batch_size: int, world_size: int = 1) -> float:
+    """Linear lr scaling by global batch (dinov2/eval/linear.py:233-234)."""
+    return lr * (batch_size * world_size) / 256.0
 
 
 @dataclasses.dataclass
@@ -120,13 +126,16 @@ def train_and_eval_linear_probes(
     iters: int = 12500,
     lrs: Sequence[float] = DEFAULT_LRS,
     variants: Sequence[ProbeVariant] = DEFAULT_VARIANTS,
+    batch_size: int = 256,
 ) -> Dict[str, float]:
     """Full grid training + best-classifier selection
     (reference: dinov2/eval/linear.py:465-628).
 
     train_feature_fn(images) -> list of (patch_tokens, cls) per block;
     train_iter_factory() -> iterator of (images, labels) (repeats as
-    needed); eval_iter -> finite iterator for the val set."""
+    needed); eval_iter -> finite iterator for the val set. Grid lrs are
+    scaled by global batch / 256 (reference :233-243)."""
+    lrs = tuple(scale_lr(lr, batch_size) for lr in lrs)
     banks: Dict[str, LinearProbeBank] = {}
     it = 0
     src = iter(train_iter_factory())

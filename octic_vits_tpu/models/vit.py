@@ -36,6 +36,9 @@ class VisionTransformer(nn.Module):
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
     init_scale: Optional[float] = 1e-4
+    # torch nn.LayerNorm default — deit/vit.py:275 uses it unchanged (the
+    # octic + DINOv2 models use 1e-6; see octic_vit.py / dinov2_vit.py)
+    norm_eps: float = 1e-5
     global_pool: bool = False
     scan_blocks: bool = False
     remat: bool = False
@@ -66,7 +69,7 @@ class VisionTransformer(nn.Module):
             attn_drop=self.attn_drop_rate,
             drop_path=self.drop_path_rate,
             layerscale_init=self.init_scale,
-            norm_eps=1e-6,
+            norm_eps=self.norm_eps,
             use_pallas_attention=self.use_pallas_attention,
             use_pallas_mlp=self.use_pallas_mlp,
             dtype=self.dtype,
@@ -83,7 +86,9 @@ class VisionTransformer(nn.Module):
             self.blocks = [
                 Block(**block_cfg, name=f"blocks_{i}") for i in range(self.depth)
             ]
-        self.norm = nn.LayerNorm(epsilon=1e-6, param_dtype=self.param_dtype)
+        self.norm = nn.LayerNorm(
+            epsilon=self.norm_eps, param_dtype=self.param_dtype
+        )
         if self.num_classes > 0:
             self.head = nn.Dense(
                 self.num_classes,

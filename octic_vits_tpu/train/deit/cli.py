@@ -31,7 +31,9 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--src", action="store_true", default=False,
                    help="simple random crop instead of RRC")
     p.add_argument("--model-ema-decay", type=float, default=0.99996)
-    p.add_argument("--clip-grad", type=float, default=None)
+    # apex FusedLAMB default max_grad_norm=1.0 (what the reference recipe
+    # effectively runs with via timm create_optimizer('fusedlamb'))
+    p.add_argument("--clip-grad", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=1337)
     p.add_argument("--data-path", default="")
     p.add_argument("--data-set", default="IMNET",

@@ -53,7 +53,10 @@ class DeiTConfig:
     mixup_switch_prob: float = 0.5
     drop_path: float = 0.45
     ema_decay: float = 0.99996
-    clip_grad: Optional[float] = None
+    # apex FusedLAMB clips the global grad norm at max_grad_norm=1.0 by
+    # default, which the reference recipe inherits via timm
+    # create_optimizer('fusedlamb') (reference: experiments/train_deit.py:42)
+    clip_grad: Optional[float] = 1.0
     steps_per_epoch: int = 625
     opt_eps: float = 1e-8
 

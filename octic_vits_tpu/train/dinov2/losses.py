@@ -131,11 +131,9 @@ def koleo_loss(student_cls: Array, eps: float = 1e-8) -> Array:
     """Kozachenko-Leonenko nearest-neighbor entropy regularizer, fp32
     (reference: koleo_loss.py:18-48).
 
-    Semantics note: the reference computes nearest neighbors within each
-    GPU's local batch; under pjit this computes them over the GLOBAL batch
-    (more negatives, one small all-gather of the cls features). Per-device
-    local semantics can be recovered with shard_map if exact parity of the
-    regularizer's batch scope ever matters."""
+    Computes nearest neighbors over the WHOLE array it is given. Under pjit
+    that is the global batch; for the reference's per-GPU semantics use
+    :func:`koleo_loss_per_device`."""
     x = student_cls.astype(jnp.float32)
     x = x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + eps)
     dots = x @ x.T
@@ -145,3 +143,26 @@ def koleo_loss(student_cls: Array, eps: float = 1e-8) -> Array:
     diffs = x - x[nn_idx]
     dists = jnp.sqrt(jnp.sum(diffs * diffs, axis=-1) + eps * eps)
     return -jnp.mean(jnp.log(dists + eps))
+
+
+def koleo_loss_per_device(student_cls: Array, mesh, eps: float = 1e-8) -> Array:
+    """KoLeo with the reference's per-GPU batch scope (koleo_loss.py:38-48):
+    nearest neighbors are searched within each device's LOCAL batch shard
+    (no gather), and the per-device losses are averaged — exactly what the
+    reference's unsynchronized per-rank loss contributes to the gradient.
+
+    `student_cls` must be shardable over the leading batch axis across every
+    mesh axis; when batch % mesh.size != 0 (tiny debug batches) this falls
+    back to the global scope."""
+    from jax.sharding import PartitionSpec as P
+
+    if student_cls.shape[0] % mesh.size != 0:
+        return koleo_loss(student_cls, eps)
+    axes = tuple(mesh.axis_names)
+
+    def _local(x):
+        return jax.lax.pmean(koleo_loss(x, eps), axes)
+
+    return jax.shard_map(
+        _local, mesh=mesh, in_specs=P(axes), out_specs=P()
+    )(student_cls)

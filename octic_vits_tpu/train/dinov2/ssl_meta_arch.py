@@ -45,6 +45,11 @@ class SSLConfig:
     dino_head_nlayers: int = 3
     dino_loss_weight: float = 1.0
     koleo_loss_weight: float = 0.1
+    # False = reference per-GPU semantics (nearest neighbors within each
+    # device's local batch shard, koleo_loss.py:38-48); True = one global
+    # nearest-neighbor search over the full batch (stronger regularizer,
+    # O(B_global^2) similarity matrix + a cls all-gather).
+    koleo_global: bool = False
     # ibot
     do_ibot: bool = True
     ibot_separate_head: bool = False
@@ -76,6 +81,18 @@ class SSLState(NamedTuple):
     nu: Any                # AdamW second moment
     dino_center: Array     # [K]
     ibot_center: Array     # [K_ibot]
+
+
+def split_student_rngs(rngs):
+    """Distinct randomness per student pass: the reference draws fresh
+    dropout/droppath masks for the global-crop and local-crop forwards (two
+    separate module calls, reference: ssl_meta_arch.py:243); folding a
+    per-pass constant decorrelates the two streams."""
+    if rngs is None:
+        return None, None
+    rngs_g = {k: jax.random.fold_in(v, 1) for k, v in rngs.items()}
+    rngs_l = {k: jax.random.fold_in(v, 2) for k, v in rngs.items()}
+    return rngs_g, rngs_l
 
 
 class SSLMetaArch:
@@ -168,10 +185,13 @@ class SSLMetaArch:
         batch: Dict[str, Array],
         teacher_temp: float,
         rngs,
+        mesh=None,
     ):
         """Returns (loss, aux) where aux carries the loss dict and new centers.
-        Mirrors forward_backward (reference: ssl_meta_arch.py:140-354)."""
+        Mirrors forward_backward (reference: ssl_meta_arch.py:140-354).
+        `mesh` (optional) enables the per-device KoLeo batch scope."""
         cfg = self.cfg
+        rngs_g, rngs_l = split_student_rngs(rngs)
         gc = batch["global_crops"].astype(cfg.compute_dtype)   # [2B, S, S, 3]
         lc = batch["local_crops"].astype(cfg.compute_dtype)    # [nl*B, s, s, 3]
         masks = batch["masks"]                                  # [2B, N] bool
@@ -256,10 +276,10 @@ class SSLMetaArch:
 
         # ---------------- student ----------------
         s_out_g = self._backbone_feats(
-            student_params["backbone"], gc, masks, rngs, False
+            student_params["backbone"], gc, masks, rngs_g, False
         )
         s_out_l = self._backbone_feats(
-            student_params["backbone"], lc, None, rngs, False
+            student_params["backbone"], lc, None, rngs_l, False
         )
         s_cls_g = s_out_g["x_norm_clstoken"]                   # [2B, C]
         s_cls_l = s_out_l["x_norm_clstoken"]                   # [nl*B, C]
@@ -309,8 +329,12 @@ class SSLMetaArch:
         total = total + cfg.dino_loss_weight * dino_global
 
         if cfg.koleo_loss_weight > 0:
+            if mesh is not None and not cfg.koleo_global:
+                koleo_fn = lambda c: L.koleo_loss_per_device(c, mesh)
+            else:
+                koleo_fn = L.koleo_loss
             koleo = cfg.koleo_loss_weight * sum(
-                L.koleo_loss(chunk)
+                koleo_fn(chunk)
                 for chunk in s_cls_g.reshape(cfg.n_global_crops, b, -1)
             )
             loss_dict["koleo_loss"] = koleo / loss_scales
@@ -404,6 +428,7 @@ class SSLMetaArch:
                     batch,
                     sched["teacher_temp"],
                     rngs,
+                    mesh=mesh,
                 )
 
             (loss, aux), grads = jax.value_and_grad(compute, has_aux=True)(

@@ -81,6 +81,7 @@ def main():
             lambda: feature_loader(args.train_data, args.batch, args.workers),
             feature_loader(args.val_data, args.batch, args.workers),
             num_classes=args.num_classes,
+            batch_size=args.batch,
         )
     print(json.dumps(res, indent=2, default=str))
 

@@ -147,6 +147,42 @@ def test_koleo_loss_finite_and_spreads():
     assert float(L.koleo_loss(x2)) > l1
 
 
+def test_koleo_per_device_matches_per_shard_mean():
+    """koleo_loss_per_device == mean of koleo_loss over the 8 device shards
+    (the reference's per-GPU batch scope, koleo_loss.py:38-48) and differs
+    from the global-batch nearest-neighbor scope."""
+    from octic_vits_tpu.parallel import create_mesh
+
+    mesh = create_mesh(devices=jax.devices()[:8], fsdp=2)
+    x = jax.random.normal(jax.random.PRNGKey(3), (16, 8))
+    got = float(L.koleo_loss_per_device(x, mesh))
+    want = np.mean([float(L.koleo_loss(x[i * 2:(i + 1) * 2])) for i in range(8)])
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    assert abs(got - float(L.koleo_loss(x))) > 1e-4
+
+
+def test_student_rng_streams_distinct():
+    """Global- and local-crop student passes must draw uncorrelated
+    dropout/droppath masks (reference draws fresh randomness per forward;
+    round-1 bug: one shared rngs dict)."""
+    import flax.linen as nn
+
+    from octic_vits_tpu.train.dinov2.ssl_meta_arch import split_student_rngs
+
+    rngs = {"dropout": jax.random.PRNGKey(7)}
+    rngs_g, rngs_l = split_student_rngs(rngs)
+    drop = nn.Dropout(rate=0.5, deterministic=False)
+    x = jnp.ones((4, 32))
+    out_g = drop.apply({}, x, rngs={"dropout": rngs_g["dropout"]})
+    out_l = drop.apply({}, x, rngs={"dropout": rngs_l["dropout"]})
+    assert not np.allclose(np.asarray(out_g), np.asarray(out_l))
+    # and the split is deterministic
+    rngs_g2, _ = split_student_rngs(rngs)
+    out_g2 = drop.apply({}, x, rngs={"dropout": rngs_g2["dropout"]})
+    np.testing.assert_array_equal(np.asarray(out_g), np.asarray(out_g2))
+    assert split_student_rngs(None) == (None, None)
+
+
 def test_center_update_formula():
     state = L.CenterState.create(4)
     t = jnp.arange(12.0).reshape(3, 4)

@@ -27,6 +27,40 @@ def image_folder(tmp_path):
     return root
 
 
+def test_lamb_one_step_matches_trust_ratio_formula():
+    """Pin optax.lamb to the LAMB paper / apex FusedLAMB update: adam
+    direction with bias correction, decoupled weight decay, per-leaf trust
+    ratio ||p|| / ||u||, then -lr scaling (reference uses apex fusedlamb,
+    experiments/train_deit.py:42). Divergence from apex documented in
+    DeiTConfig.clip_grad: apex additionally clips the global grad norm at
+    max_grad_norm=1.0, which we apply in the train step instead."""
+    import optax
+
+    lr, wd, b1, b2, eps = 0.1, 0.02, 0.9, 0.999, 1e-8
+    p = jnp.asarray(np.random.RandomState(0).randn(4, 3), jnp.float32)
+    g = jnp.asarray(np.random.RandomState(1).randn(4, 3), jnp.float32)
+    tx = optax.lamb(lr, b1=b1, b2=b2, eps=eps, weight_decay=wd)
+    upd, _ = tx.update(g, tx.init(p), p)
+
+    # hand-computed step 1: m_hat = g, v_hat = g^2 after bias correction
+    u = g / (jnp.abs(g) + eps) + wd * p
+    trust = jnp.linalg.norm(p) / jnp.linalg.norm(u)
+    want = -lr * trust * u
+    np.testing.assert_allclose(np.asarray(upd), np.asarray(want), rtol=2e-5)
+
+
+def test_linear_probe_lr_grid_matches_reference():
+    """The 13-lr grid and batch scaling rule are the reference's verbatim
+    (dinov2/eval/linear.py:147,233-234)."""
+    from octic_vits_tpu.eval.linear import DEFAULT_LRS, scale_lr
+
+    ref = [1e-5, 2e-5, 5e-5, 1e-4, 2e-4, 5e-4,
+           1e-3, 2e-3, 5e-3, 1e-2, 2e-2, 5e-2, 0.1]
+    np.testing.assert_allclose(list(DEFAULT_LRS), ref)
+    assert scale_lr(1e-3, 1024) == pytest.approx(1e-3 * 1024 / 256)
+    assert scale_lr(1e-3, 128, world_size=8) == pytest.approx(4e-3)
+
+
 def test_deit_train_loop(image_folder, tmp_path):
     from octic_vits_tpu.data.datasets import ImageFolder
     from octic_vits_tpu.data.transforms import eval_transform
