@@ -17,7 +17,7 @@ from typing import Any, Callable, Iterable, Iterator, Optional
 
 import numpy as np
 
-from octic_vits_tpu.data.datasets import ImageFolder, ImageNetExtra
+from octic_vits_tpu.data.datasets import ImageFolder, ImageNet22k, ImageNetExtra
 
 
 class SamplerType(Enum):
@@ -46,6 +46,10 @@ def make_dataset(spec: str, transform: Optional[Callable] = None):
         return ImageNetExtra(
             root=kw["root"], extra=kw["extra"], split=kw.get("split", "TRAIN"),
             transform=transform,
+        )
+    if name == "ImageNet22k":
+        return ImageNet22k(
+            root=kw["root"], extra=kw["extra"], transform=transform
         )
     if name == "ImageFolder":
         return ImageFolder(root=kw["root"], transform=transform)

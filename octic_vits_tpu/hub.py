@@ -28,6 +28,11 @@ class HubEntry:
     style: str            # 'deit' | 'dinov2'
     patch_size: int
     num_register_tokens: int = 0
+    # 'octic' = OcticVisionTransformer checkpoints (convert_octic_vit);
+    # 'dinov2_std' = upstream DINOv2 DinoVisionTransformer checkpoints
+    # (convert_dinov2_vit; reference: dinov2/hub/backbones.py:64-156)
+    family: str = "octic"
+    embed_dim: int = 0     # informational (dinov2_std head sizing)
 
 
 HUB_ENTRIES: Dict[str, HubEntry] = {
@@ -42,6 +47,22 @@ HUB_ENTRIES: Dict[str, HubEntry] = {
     "d8_inv_early_dinov2_vit_huge_patch16": HubEntry("d8_inv_early_dinov2_vit_huge_patch16", 32, "dinov2", 16),
     "d8_inv_early_dinov2_vit_large_patch16": HubEntry("d8_inv_early_dinov2_vit_large_patch16", 24, "dinov2", 16),
 }
+
+# upstream DINOv2 backbones (reference: dinov2/hub/backbones.py:64-156);
+# weights-file-driven — pass the released *_pretrain.pth path as `checkpoint`
+for _tag, _depth, _dim in (
+    ("dinov2_vits14", 12, 384),
+    ("dinov2_vitb14", 12, 768),
+    ("dinov2_vitl14", 24, 1024),
+    ("dinov2_vitg14", 40, 1536),
+):
+    HUB_ENTRIES[_tag] = HubEntry(
+        _tag, _depth, "dinov2", 14, family="dinov2_std", embed_dim=_dim
+    )
+    HUB_ENTRIES[_tag + "_reg"] = HubEntry(
+        _tag + "_reg", _depth, "dinov2", 14, num_register_tokens=4,
+        family="dinov2_std", embed_dim=_dim,
+    )
 
 
 def load_backbone(
@@ -71,13 +92,69 @@ def load_backbone(
         else:
             import torch
 
-            from octic_vits_tpu.utils.convert import convert_octic_vit
+            from octic_vits_tpu.utils.convert import (
+                convert_dinov2_vit, convert_octic_vit,
+            )
 
             blob = torch.load(checkpoint, map_location="cpu", weights_only=True)
             sd = blob.get(checkpoint_key, blob.get("model", blob))
             sd = {k: v.numpy() for k, v in sd.items()}
-            params = convert_octic_vit(
-                sd, depth=entry.depth, style=entry.style
-            )
+            if entry.family == "dinov2_std":
+                params = convert_dinov2_vit(sd, depth=entry.depth)
+            else:
+                params = convert_octic_vit(
+                    sd, depth=entry.depth, style=entry.style
+                )
             params = jax.tree.map(jnp.asarray, params)
     return model, params
+
+
+def load_linear_classifier(
+    name: str,
+    backbone_checkpoint: Optional[str] = None,
+    head_checkpoint: Optional[str] = None,
+    layers: int = 4,
+    img_size: int = 224,
+    dtype: Any = jnp.bfloat16,
+    **model_kwargs,
+):
+    """Backbone + IN1K linear head, the reference's `*_lc` hub entries
+    (reference: dinov2/hub/classifiers.py:52-268). `layers` in (1, 4):
+    features = cat(cls of last `layers` blocks, avg patch of last block).
+
+    Returns (classify_fn, variables) where
+    `classify_fn(variables, images) -> [B, 1000]` is jittable."""
+    import flax.linen as fnn
+
+    if layers not in (1, 4):
+        raise ValueError(f"unsupported layers={layers}")
+    model, params = load_backbone(
+        name, checkpoint=backbone_checkpoint, img_size=img_size, dtype=dtype,
+        **model_kwargs,
+    )
+    entry = HUB_ENTRIES[name]
+    head = fnn.Dense(1000, dtype=dtype)
+    head_params = None
+    if head_checkpoint is not None:
+        import torch
+
+        from octic_vits_tpu.utils.convert import convert_linear_head
+
+        blob = torch.load(head_checkpoint, map_location="cpu",
+                          weights_only=True)
+        sd = {k: v.numpy() for k, v in blob.items()}
+        head_params = jax.tree.map(jnp.asarray, convert_linear_head(sd))
+
+    def classify_fn(variables, images):
+        outs = model.apply(
+            {"params": variables["backbone"]}, images, layers,
+            False, True,  # reshape=False, return_class_token=True
+            method=model.get_intermediate_layers,
+        )
+        cls_feats = [c for _, c in outs]
+        feats = jnp.concatenate(cls_feats + [jnp.mean(outs[-1][0], axis=1)],
+                                axis=-1)
+        return head.apply({"params": variables["head"]}, feats)
+
+    variables = {"backbone": params, "head": head_params}
+    return classify_fn, variables

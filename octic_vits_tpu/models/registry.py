@@ -164,6 +164,40 @@ def dinov2_vit_huge_patch16(img_size=224, **kwargs):
     )
 
 
+# upstream DINOv2 hub backbones (reference: dinov2/hub/backbones.py:64-156):
+# ViT-S/B/L/g2 at patch 14, layerscale init 1.0, optional 4 registers;
+# giant2 uses the fused-SwiGLU FFN.
+_UPSTREAM_DINOV2 = {
+    "dinov2_vits14": dict(embed_dim=384, depth=12, num_heads=6),
+    "dinov2_vitb14": dict(embed_dim=768, depth=12, num_heads=12),
+    "dinov2_vitl14": dict(embed_dim=1024, depth=24, num_heads=16),
+    "dinov2_vitg14": dict(
+        embed_dim=1536, depth=40, num_heads=24, ffn_layer="swiglu"
+    ),
+}
+
+
+def _register_upstream_dinov2():
+    for tag, arch_kw in _UPSTREAM_DINOV2.items():
+        for n_reg in (0, 4):
+            name = tag + ("_reg" if n_reg else "")
+
+            def _factory(img_size=518, _arch_kw=dict(arch_kw),
+                         _n_reg=n_reg, **kwargs):
+                merged = dict(
+                    patch_size=14, mlp_ratio=4.0, layerscale_init=1.0,
+                    num_register_tokens=_n_reg, **_arch_kw,
+                )
+                merged.update(kwargs)
+                return DinoVisionTransformer(img_size=img_size, **merged)
+
+            _factory.__name__ = name
+            register_model(_factory)
+
+
+_register_upstream_dinov2()
+
+
 # small test-size configs (not in the reference; used by unit tests/benches)
 
 

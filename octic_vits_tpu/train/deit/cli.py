@@ -37,7 +37,8 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=1337)
     p.add_argument("--data-path", default="")
     p.add_argument("--data-set", default="IMNET",
-                   choices=["IMNET", "CIFAR", "IMAGEFOLDER"])
+                   choices=["IMNET", "CIFAR", "IMAGEFOLDER", "INAT", "INAT19"])
+    p.add_argument("--inat-category", default="name")
     p.add_argument("--eval-crop-ratio", type=float, default=1.0)
     p.add_argument("--output_dir", default="./out")
     p.add_argument("--resume", default="")
@@ -57,7 +58,7 @@ def main(argv: Optional[List[str]] = None):
     import functools
     import random as pyrandom
 
-    from octic_vits_tpu.data.datasets import ImageFolder
+    from octic_vits_tpu.data.datasets import build_deit_dataset
     from octic_vits_tpu.data.transforms import (
         eval_transform, hflip, rotate90, three_augment,
     )
@@ -98,8 +99,18 @@ def main(argv: Optional[List[str]] = None):
             arr = hflip(arr)
         return arr
 
-    train_ds = ImageFolder(f"{args.data_path}/train", transform=train_tf)
-    val_ds = ImageFolder(f"{args.data_path}/val", transform=val_tf)
+    train_ds, nb_classes = build_deit_dataset(
+        args.data_set, args.data_path, True, transform=train_tf,
+        inat_category=args.inat_category,
+    )
+    val_ds, _ = build_deit_dataset(
+        args.data_set, args.data_path, False, transform=val_tf,
+        inat_category=args.inat_category,
+    )
+    if nb_classes != cfg.num_classes:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, num_classes=nb_classes)
 
     if args.eval:
         import jax
@@ -111,7 +122,7 @@ def main(argv: Optional[List[str]] = None):
 
         model, params = load_backbone(
             args.model, checkpoint=args.resume or None, checkpoint_key="model",
-            num_classes=1000,
+            num_classes=nb_classes,
         )
         loader = DataLoader(
             val_ds, EpochSampler(len(val_ds)), batch_size=256,

@@ -178,6 +178,62 @@ def convert_octic_vit(
     return params
 
 
+def _dinov2_block(sd, p):
+    """DINOv2-layout standard block: ls1/ls2 LayerScale, Mlp or SwiGLU FFN
+    (reference: dinov2/layers/block.py:43-130, swiglu_ffn.py:14-33)."""
+    if f"{p}.mlp.w12.weight" in sd:
+        mlp = {"w12": _dense(sd, f"{p}.mlp.w12"), "w3": _dense(sd, f"{p}.mlp.w3")}
+    else:
+        mlp = {"fc1": _dense(sd, f"{p}.mlp.fc1"), "fc2": _dense(sd, f"{p}.mlp.fc2")}
+    return {
+        "norm1": _layer_norm(sd, f"{p}.norm1"),
+        "norm2": _layer_norm(sd, f"{p}.norm2"),
+        "attn": {
+            "qkv": _dense(sd, f"{p}.attn.qkv"),
+            "proj": _dense(sd, f"{p}.attn.proj"),
+        },
+        "mlp": mlp,
+        "gamma_1": np.asarray(sd[f"{p}.ls1.gamma"]),
+        "gamma_2": np.asarray(sd[f"{p}.ls2.gamma"]),
+    }
+
+
+def convert_dinov2_vit(state_dict: Dict[str, np.ndarray], depth: int) -> Dict:
+    """Upstream DINOv2 `DinoVisionTransformer` state_dict -> flax params
+    (reference: dinov2/models/vision_transformer.py:57-165; hub checkpoints
+    from dinov2/hub/backbones.py). Handles ±register tokens and the
+    giant's fused-SwiGLU FFN."""
+    sd = normalize_keys(state_dict)
+    params: Dict = {
+        "cls_token": np.asarray(sd["cls_token"]),
+        "pos_embed": np.asarray(sd["pos_embed"]),
+        "mask_token": np.asarray(sd["mask_token"]),
+        "patch_embed": {"proj": {
+            "kernel": _conv(sd["patch_embed.proj.weight"]).reshape(
+                -1, sd["patch_embed.proj.weight"].shape[0]
+            ),
+            "bias": np.asarray(sd["patch_embed.proj.bias"]),
+        }},
+        "norm": _layer_norm(sd, "norm"),
+    }
+    if "register_tokens" in sd:
+        params["register_tokens"] = np.asarray(sd["register_tokens"])
+    for i in range(depth):
+        params[f"blocks_{i}"] = _dinov2_block(sd, f"blocks.{i}")
+    return params
+
+
+def convert_linear_head(state_dict: Dict[str, np.ndarray]) -> Dict:
+    """Upstream linear-classifier head `{weight, bias}` -> flax Dense params
+    (reference: dinov2/hub/classifiers.py:20-50)."""
+    sd = normalize_keys(state_dict)
+    key = "linear_head." if "linear_head.weight" in sd else ""
+    return {
+        "kernel": _t(sd[f"{key}weight"]),
+        "bias": np.asarray(sd[f"{key}bias"]),
+    }
+
+
 def convert_standard_vit(state_dict: Dict[str, np.ndarray], depth: int) -> Dict:
     """Reference deit/vit.py `vit_models` state_dict -> flax params."""
     sd = normalize_keys(state_dict)

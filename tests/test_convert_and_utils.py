@@ -218,6 +218,115 @@ def test_dataloader_and_samplers(tmp_path):
     assert all(0 <= v < 8 for v in vals)
 
 
+def test_imagenet22k_tar_reader(tmp_path):
+    """Real per-class tarball layout (reference:
+    dinov2/data/datasets/image_net_22k.py): members read via mmap'd offsets,
+    gzip members transparently decompressed, entries cached to extra/."""
+    import gzip
+    import io
+    import tarfile
+
+    from PIL import Image
+
+    from octic_vits_tpu.data.datasets import ImageNet22k
+    from octic_vits_tpu.data.loaders import make_dataset
+
+    root = tmp_path / "in22k"
+    root.mkdir()
+
+    def jpeg_bytes(color):
+        buf = io.BytesIO()
+        Image.new("RGB", (24, 24), color).save(buf, format="JPEG")
+        return buf.getvalue()
+
+    for ci, class_id in enumerate(["n001", "n002"]):
+        with tarfile.open(root / f"{class_id}.tar", "w") as tf:
+            for j in range(3):
+                data = jpeg_bytes((40 * (ci + 1), 10 * j, 0))
+                if ci == 1 and j == 2:  # one gzipped member like real 22k
+                    data = gzip.compress(data)
+                info = tarfile.TarInfo(f"{class_id}_{j}.JPEG")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+
+    extra = tmp_path / "extra22k"
+    ds = ImageNet22k(str(root), str(extra))
+    assert len(ds) == 6
+    assert (extra / "entries.npy").exists() and (extra / "class-ids.npy").exists()
+    assert list(ds.get_targets()) == [0, 0, 0, 1, 1, 1]
+    img, target = ds[4]
+    assert img.size == (24, 24) and target == 1
+    img_gz, t_gz = ds[5]  # the gzipped member
+    assert img_gz.size == (24, 24) and t_gz == 1
+
+    # second instantiation uses the cache; DSL route works too
+    ds2 = make_dataset(f"ImageNet22k:root={root}:extra={extra}")
+    assert len(ds2) == 6 and ds2.get_target(0) == 0
+
+
+def test_cifar100_pickle_reader(tmp_path):
+    import pickle
+
+    from octic_vits_tpu.data.datasets import CIFAR100, build_deit_dataset
+
+    base = tmp_path / "cifar-100-python"
+    base.mkdir()
+    rng = np.random.RandomState(0)
+    for split, n in [("train", 8), ("test", 4)]:
+        d = {
+            "data": rng.randint(0, 255, (n, 3072), np.uint8),
+            "fine_labels": list(rng.randint(0, 100, n)),
+        }
+        with open(base / split, "wb") as f:
+            pickle.dump(d, f)
+
+    ds = CIFAR100(str(tmp_path), train=True)
+    assert len(ds) == 8
+    img, y = ds[0]
+    assert img.size == (32, 32) and 0 <= y < 100
+
+    ds_val, ncls = build_deit_dataset("CIFAR", str(tmp_path), False)
+    assert len(ds_val) == 4 and ncls == 100
+
+
+def test_inat_json_reader(tmp_path):
+    import json
+
+    from PIL import Image
+
+    from octic_vits_tpu.data.datasets import build_deit_dataset
+
+    root = tmp_path / "inat"
+    (root / "imgs").mkdir(parents=True)
+    categories = [
+        {"id": 0, "name": "sparrow", "supercategory": "Birds"},
+        {"id": 1, "name": "oak", "supercategory": "Plants"},
+    ]
+    for split, n in [("train", 4), ("val", 2)]:
+        images, anns = [], []
+        for i in range(n):
+            fname = f"imgs/{split}_{i}.jpg"
+            Image.new("RGB", (20, 20), (i * 40, 0, 0)).save(root / fname)
+            images.append({"id": i, "file_name": fname})
+            anns.append({"image_id": i, "category_id": i % 2})
+        with open(root / f"{split}2018.json", "w") as f:
+            json.dump({"images": images, "annotations": anns}, f)
+    with open(root / "categories.json", "w") as f:
+        json.dump(categories, f)
+
+    ds, ncls = build_deit_dataset("INAT", str(root), True)
+    assert ncls == 2 and len(ds) == 4
+    img, y = ds[1]
+    assert img.size == (20, 20) and y == 1
+    ds_val, _ = build_deit_dataset("INAT", str(root), False)
+    assert len(ds_val) == 2
+    # supercategory taxonomy level also resolves
+    ds_super, ncls_super = build_deit_dataset(
+        "INAT", str(root), True, inat_category="supercategory"
+    )
+    assert ncls_super == 2
+
+
 def test_deit_engine_train_step():
     import optax
 

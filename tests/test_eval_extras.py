@@ -78,11 +78,19 @@ def test_miou_confusion():
 def test_hub_entries_build():
     from octic_vits_tpu.hub import HUB_ENTRIES, load_backbone
 
-    assert len(HUB_ENTRIES) == 8
+    # 8 octic paper models + 8 upstream DINOv2 backbones (±reg)
+    assert len(HUB_ENTRIES) == 16
+    assert {"dinov2_vits14", "dinov2_vitb14", "dinov2_vitl14",
+            "dinov2_vitg14", "dinov2_vitl14_reg"} <= set(HUB_ENTRIES)
     model, params = load_backbone(
         "hybrid_dinov2_vit_large_patch16", checkpoint=None, dtype=jnp.float32
     )
     assert params is None and model.embed_dim == 1024
+    up, up_params = load_backbone(
+        "dinov2_vits14_reg", checkpoint=None, dtype=jnp.float32, img_size=28
+    )
+    assert up_params is None and up.embed_dim == 384
+    assert up.num_register_tokens == 4 and up.patch_size == 14
 
 
 def test_seg_dataset_layouts(tmp_path):

@@ -335,6 +335,104 @@ def test_standard_vit_model_parity(ref):
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("ffn,n_reg", [("mlp", 0), ("swiglufused", 4)],
+                         ids=["mlp", "swiglu_reg"])
+def test_upstream_dinov2_backbone_parity(ref, ffn, n_reg):
+    """Upstream standard DinoVisionTransformer (dinov2/models/
+    vision_transformer.py, hub checkpoint layout block_chunks=0) vs
+    convert_dinov2_vit + my DinoVisionTransformer — incl. the giant's
+    fused-SwiGLU FFN and register tokens."""
+    import dinov2.models.vision_transformer as dvt
+
+    from octic_vits_tpu.models import DinoVisionTransformer
+    from octic_vits_tpu.utils.convert import convert_dinov2_vit
+
+    torch.manual_seed(0)
+    t = dvt.DinoVisionTransformer(
+        img_size=28, patch_size=14, embed_dim=64, depth=3, num_heads=2,
+        mlp_ratio=4.0, init_values=1.0, ffn_layer=ffn, block_chunks=0,
+        num_register_tokens=n_reg,
+    ).eval()
+    with torch.no_grad():
+        g = torch.Generator().manual_seed(1)
+        t.cls_token.copy_(torch.randn(t.cls_token.shape, generator=g))
+        t.mask_token.copy_(torch.randn(t.mask_token.shape, generator=g))
+        if n_reg:
+            t.register_tokens.copy_(
+                torch.randn(t.register_tokens.shape, generator=g)
+            )
+    g = torch.Generator().manual_seed(12)
+    x = torch.randn(2, 3, 28, 28, generator=g)
+    with torch.no_grad():
+        want = t.forward_features(x)
+    params = _jparams(convert_dinov2_vit(state_dict_numpy(t), depth=3))
+    model = DinoVisionTransformer(
+        img_size=28, patch_size=14, embed_dim=64, depth=3, num_heads=2,
+        mlp_ratio=4.0, layerscale_init=1.0,
+        ffn_layer="swiglu" if ffn == "swiglufused" else "mlp",
+        num_register_tokens=n_reg,
+    )
+    got = model.apply(
+        {"params": params}, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+        method=model.forward_features,
+    )
+    for key in ("x_norm_clstoken", "x_norm_patchtokens"):
+        np.testing.assert_allclose(
+            np.asarray(got[key]), want[key].numpy(), atol=2e-5, rtol=1e-5,
+            err_msg=key,
+        )
+
+
+def test_linear_classifier_wrapper_parity(ref, tmp_path):
+    """hub.load_linear_classifier vs the reference _LinearClassifierWrapper
+    (dinov2/hub/classifiers.py:52-84, layers=4)."""
+    import dinov2.models.vision_transformer as dvt
+
+    from octic_vits_tpu import hub as jhub
+    from octic_vits_tpu.hub import HUB_ENTRIES, HubEntry, load_linear_classifier
+
+    torch.manual_seed(0)
+    t = dvt.DinoVisionTransformer(
+        img_size=28, patch_size=14, embed_dim=64, depth=4, num_heads=2,
+        mlp_ratio=4.0, init_values=1.0, block_chunks=0,
+    ).eval()
+    head = torch.nn.Linear(5 * 64, 1000)
+    torch.save(t.state_dict(), tmp_path / "backbone.pth")
+    torch.save(head.state_dict(), tmp_path / "head.pth")
+
+    # reference wrapper forward (layers=4)
+    g = torch.Generator().manual_seed(13)
+    x = torch.randn(2, 3, 28, 28, generator=g)
+    with torch.no_grad():
+        outs = t.get_intermediate_layers(x, n=4, return_class_token=True)
+        feats = torch.cat(
+            [outs[0][1], outs[1][1], outs[2][1], outs[3][1],
+             outs[3][0].mean(dim=1)], dim=1)
+        want = head(feats).numpy()
+
+    name = "_test_dinov2_tiny14"
+    HUB_ENTRIES[name] = HubEntry(name, 4, "dinov2", 14,
+                                 family="dinov2_std", embed_dim=64)
+    from octic_vits_tpu.models.registry import register_model
+
+    from octic_vits_tpu.models import DinoVisionTransformer
+
+    @register_model
+    def _test_dinov2_tiny14(img_size=28, **kw):
+        kw.setdefault("layerscale_init", 1.0)
+        return DinoVisionTransformer(
+            img_size=img_size, patch_size=14, embed_dim=64, depth=4,
+            num_heads=2, mlp_ratio=4.0, **kw,
+        )
+
+    classify_fn, variables = load_linear_classifier(
+        name, str(tmp_path / "backbone.pth"), str(tmp_path / "head.pth"),
+        layers=4, img_size=28, dtype=jnp.float32,
+    )
+    got = classify_fn(variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-5)
+
+
 def test_dinov2_model_masked_parity(ref):
     from octic_vits_tpu.models import OcticDinoVisionTransformer
     from octic_vits_tpu.utils.convert import convert_octic_vit
