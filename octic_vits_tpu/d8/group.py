@@ -271,3 +271,69 @@ def unpack_5_to_8(xs: Sequence) -> tuple:
         e[..., 0, :half], e[..., 1, :half],
         e[..., 0, half:], e[..., 1, half:],
     )
+
+
+# --------------------------------------------------------------------------
+# flat packed activation container (TPU layout, not in the reference)
+#
+# The octic residual stream as ONE [..., C] array with column layout
+#   [ A1 | A2 | B1 | B2 | E row 0 (C/4) | E row 1 (C/4) ]
+# so elementwise ops (norm stats, LayerScale, droppath, residual adds) run
+# as single full-width VPU passes instead of 5 padded small-array ops
+# (C/8-wide arrays waste ~1.6x of each 128-lane tile). The E rows stay
+# contiguous, so the 5-tuple view needed by the matmul kernels is slices +
+# a free trailing reshape.
+# --------------------------------------------------------------------------
+
+
+def pack_5_to_flat(xs: Sequence):
+    """5-tuple -> flat [..., C] (layout above). E reshape is row-major
+    contiguous, so this costs one concatenate."""
+    e = xs[4]
+    e_flat = e.reshape(e.shape[:-2] + (e.shape[-2] * e.shape[-1],))
+    return jnp.concatenate((xs[0], xs[1], xs[2], xs[3], e_flat), axis=-1)
+
+
+def unpack_flat_to_5(x) -> tuple:
+    """Flat [..., C] -> 5-tuple of views (4 slices + a free reshape)."""
+    c8 = x.shape[-1] // 8
+    parts = tuple(x[..., g * c8:(g + 1) * c8] for g in range(4))
+    e = x[..., 4 * c8:].reshape(x.shape[:-1] + (2, 2 * c8))
+    return parts + (e,)
+
+
+def unpack_5f_to_8(xs) -> tuple:
+    """Flat-E 5-tuple (E as one [..., C/2] array [row0|row1]) -> 8-tuple.
+    Row 0 = [E11|E12], row 1 = [E21|E22]; 8-slot order is
+    (A1,A2,B1,B2,E11,E21,E12,E22) like :func:`unpack_5_to_8`."""
+    ef = xs[4]
+    h = ef.shape[-1] // 4
+    return (
+        xs[0], xs[1], xs[2], xs[3],
+        ef[..., :h], ef[..., 2 * h: 3 * h],
+        ef[..., h: 2 * h], ef[..., 3 * h:],
+    )
+
+
+def pack_8_to_5f(xs: Sequence) -> tuple:
+    """8-tuple -> flat-E 5-tuple (inverse of :func:`unpack_5f_to_8`)."""
+    ef = jnp.concatenate((xs[4], xs[6], xs[5], xs[7]), axis=-1)
+    return (xs[0], xs[1], xs[2], xs[3], ef)
+
+
+def flat_to_break(x):
+    """Flat packed layout -> the reference's equivariance-break column
+    order cat(convert_5tuple_to_8tuple(xs)) =
+    [A1|A2|B1|B2| E[0,:C/8] | E[1,:C/8] | E[0,C/8:] | E[1,C/8:] ]
+    (reference: octic_vits/model.py:200, d8_utils.py:370-385)."""
+    c8 = x.shape[-1] // 8
+    return jnp.concatenate(
+        (
+            x[..., : 4 * c8],
+            x[..., 4 * c8: 5 * c8],
+            x[..., 6 * c8: 7 * c8],
+            x[..., 5 * c8: 6 * c8],
+            x[..., 7 * c8: 8 * c8],
+        ),
+        axis=-1,
+    )

@@ -28,6 +28,7 @@ from typing import Any, Callable, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
 
 from octic_vits_tpu.d8.group import SQRT2_OVER_4
 from octic_vits_tpu.ops.gelu_d8 import gelu_d8
@@ -68,6 +69,10 @@ class LinearD8(nn.Module):
         f8 = self.features // 8
         if self.features % 8:
             raise ValueError("features must be divisible by 8")
+        # flat-E tuple (TPU packed path): E is ONE [..., 4*C/8] array
+        # [row0|row1] — the Pallas kernels' native layout, and it keeps the
+        # whole path free of [..., 2, C/4] tiled-layout relayouts.
+        flat_e = e.ndim == a1.ndim
 
         w1 = self.param("kernel_1d", self.kernel_init, (4, c8, f8), self.param_dtype)
         we = self.param("kernel_e", self.kernel_init, (2 * c8, 2 * f8), self.param_dtype)
@@ -95,6 +100,7 @@ class LinearD8(nn.Module):
                 fuse_gelu=self.fuse_gelu,
                 layerscale=ls,
                 residual=residual,
+                flat_e=flat_e,
             )
 
         w1 = w1.astype(dtype)
@@ -112,14 +118,27 @@ class LinearD8(nn.Module):
         if self.use_bias:
             bias = self.param("bias_a1", nn.initializers.zeros, (f8,), self.param_dtype)
             oa1 = oa1 + bias.astype(dtype)
-        oe = jnp.dot(e.astype(dtype), we, preferred_element_type=dtype)
+        if flat_e:
+            ef = e.astype(dtype)
+            oe = jnp.concatenate(
+                (
+                    jnp.dot(ef[..., : 2 * c8], we, preferred_element_type=dtype),
+                    jnp.dot(ef[..., 2 * c8:], we, preferred_element_type=dtype),
+                ),
+                axis=-1,
+            )
+        else:
+            oe = jnp.dot(e.astype(dtype), we, preferred_element_type=dtype)
         outs = (oa1, oa2, ob1, ob2, oe)
         if layerscale is not None:
             ls1, lse = layerscale
+            lse = lse.astype(dtype)
+            if flat_e:
+                lse = jnp.concatenate((lse, lse))
             outs = tuple(
                 r + ls1[g].astype(dtype) * o
                 for g, (r, o) in enumerate(zip(residual[:4], outs[:4]))
-            ) + (residual[4] + lse.astype(dtype) * outs[4],)
+            ) + (residual[4] + lse * outs[4],)
         return outs
 
 
@@ -180,6 +199,37 @@ def layer_norm_d8_stats(xs: Tuple5, eps: float = 1e-5) -> Tuple5:
         center(b2) / std,
         center(e) / std[..., None, :],
     )
+
+
+def layer_norm_d8_stats_flat(x, eps: float = 1e-5):
+    """:func:`layer_norm_d8_stats` on the flat packed container
+    (d8/group.py:pack_5_to_flat layout). Per-slot reductions run as one
+    [C, 8] segment matmul (MXU; no lane-split reshapes — a [.., 8, C/8]
+    reshape relayouts the whole stream and measured ~4x slower), and the
+    per-slot means broadcast back through the transposed segment matrix.
+    Same formula: per-irrep means, shared sqrt2/4-scaled std, eps in sqrt."""
+    c = x.shape[-1]
+    c8 = c // 8
+    x32 = x.astype(jnp.float32)
+    seg = jnp.kron(jnp.eye(8, dtype=jnp.float32),
+                   jnp.ones((c8, 1), jnp.float32))      # [C, 8]
+    m8 = (x32 @ seg) / c8                               # [..., 8]
+    s8 = ((x32 * x32) @ seg) / c8
+    var1d = s8[..., :4] - m8[..., :4] ** 2
+    me0 = 0.5 * (m8[..., 4] + m8[..., 5])   # E row 0 spans slots 4,5
+    me1 = 0.5 * (m8[..., 6] + m8[..., 7])
+    se0 = 0.5 * (s8[..., 4] + s8[..., 5])
+    se1 = 0.5 * (s8[..., 6] + s8[..., 7])
+    var_e = 0.5 * ((se0 - me0 * me0) + (se1 - me1 * me1))
+    var = jnp.sum(var1d, axis=-1) + var_e + eps
+    inv_std = 1.0 / (SQRT2_OVER_4 * jnp.sqrt(var))      # [...]
+    mean8 = jnp.stack(
+        (m8[..., 0], m8[..., 1], m8[..., 2], m8[..., 3], me0, me0, me1, me1),
+        axis=-1,
+    )
+    mean_full = mean8 @ seg.T                           # [..., C]
+    out = (x32 - mean_full) * inv_std[..., None]
+    return out.astype(x.dtype)
 
 
 class LayerNormD8(nn.Module):
@@ -505,6 +555,7 @@ class AttentionD8(nn.Module):
         # ~MXU peak here (profiled); the fused Pallas kernel only pays in
         # the MLP where the GELU epilogue folds in.
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        flat_e = xs[4].ndim == xs[0].ndim  # flat-E tuple (TPU packed path)
         qkvs = LinearD8(3 * c, use_bias=self.qkv_bias, name="qkv", **common)(xs)
 
         if self.use_pallas_attention and not (
@@ -512,14 +563,28 @@ class AttentionD8(nn.Module):
         ):
             from octic_vits_tpu.ops.pallas_attention import octic_attention
 
-            # split the packed-E rows into separate arrays: flattening
-            # [B,N,2,*] costs a tiled-layout relayout (~0.67 ms/block)
-            e0 = qkvs[4][:, :, 0]
-            e1 = qkvs[4][:, :, 1]
+            # the kernel takes the E rows as separate arrays: flattening
+            # [B,N,2,*] costs a tiled-layout relayout (~0.67 ms/block).
+            # flat-E qkv is already [row0|row1] — two plain lane slices.
+            if flat_e:
+                half = qkvs[4].shape[-1] // 2
+                e0 = qkvs[4][..., :half]
+                e1 = qkvs[4][..., half:]
+            else:
+                e0 = qkvs[4][:, :, 0]
+                e1 = qkvs[4][:, :, 1]
             o1, o2, o3, o4, oe0, oe1 = octic_attention(
                 qkvs[0], qkvs[1], qkvs[2], qkvs[3], e0, e1, h
             )
-            oe = jnp.stack((oe0, oe1), axis=2)
+            # saved under the selective remat policy (scan_blocks.py)
+            o1, o2, o3, o4, oe0, oe1 = (
+                _checkpoint_name(t, "attn_out")
+                for t in (o1, o2, o3, o4, oe0, oe1)
+            )
+            if flat_e:
+                oe = jnp.concatenate((oe0, oe1), axis=-1)
+            else:
+                oe = jnp.stack((oe0, oe1), axis=2)
             ys = LinearD8(
                 c, use_bias=self.proj_bias,
                 use_pallas=layerscale is not None, name="proj", **common,
@@ -539,7 +604,10 @@ class AttentionD8(nn.Module):
         ones_qkv = jnp.stack(
             [t.reshape(b, n, 3, h, d1) for t in qkvs[:4]], axis=3
         )  # [B,N,3,4,H,d1]
-        e_qkv = qkvs[4].reshape(b, n, 2, 3, h, de)  # [B,N,2(row),3,H,de]
+        qkv_e = (
+            qkvs[4].reshape(b, n, 2, 3 * c // 4) if flat_e else qkvs[4]
+        )
+        e_qkv = qkv_e.reshape(b, n, 2, 3, h, de)  # [B,N,2(row),3,H,de]
 
         q1, k1, v1 = (ones_qkv[:, :, i] for i in range(3))  # [B,N,4,H,d1]
         qe, ke, ve = (e_qkv[:, :, :, i] for i in range(3))  # [B,N,2,H,de]
@@ -568,7 +636,10 @@ class AttentionD8(nn.Module):
         outs1 = tuple(
             out1[:, :, g].reshape(b, n, c8) for g in range(4)
         )
-        xe = oute.reshape(b, n, 2, c // 4)
+        xe = (
+            oute.reshape(b, n, c // 2) if flat_e
+            else oute.reshape(b, n, 2, c // 4)
+        )
 
         ys = LinearD8(c, use_bias=self.proj_bias, name="proj", **common)(
             outs1 + (xe,), layerscale=layerscale, residual=residual
@@ -613,9 +684,19 @@ class BlockD8(nn.Module):
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, xs: Tuple5, deterministic: bool = True) -> Tuple5:
-        dim = xs[0].shape[-1] * 8
-        c8 = dim // 8
+    def __call__(self, xs, deterministic: bool = True):
+        """`xs` is either the 5-tuple (reference layout, oracle path) or the
+        flat packed [..., C] container (d8/group.py:pack_5_to_flat) — the
+        TPU layout the scanned trunk carries so norms/LayerScale/droppath/
+        residuals run as single full-width VPU passes. Both paths create an
+        identical parameter tree."""
+        packed = not isinstance(xs, (tuple, list))
+        if packed:
+            c8 = xs.shape[-1] // 8
+            dim = 8 * c8
+        else:
+            dim = xs[0].shape[-1] * 8
+            c8 = dim // 8
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
 
         # Fused epilogue: when LayerScale is present and no stochastic op
@@ -623,6 +704,7 @@ class BlockD8(nn.Module):
         # write  x + ls * y  directly (saves two HBM round trips per block).
         fuse_epilogue = (
             self.fuse_block_epilogues
+            and not packed
             and self.use_pallas_linear
             and self.layerscale_init is not None
             and self.drop == 0.0
@@ -662,6 +744,7 @@ class BlockD8(nn.Module):
         # calls, read back with get_variable), so the tree is unchanged.
         fuse_mlp_branch = (
             self.fuse_mlp_branch
+            and not packed
             and self.use_pallas_linear
             and self.layerscale_init is not None
             and self.drop == 0.0
@@ -682,6 +765,71 @@ class BlockD8(nn.Module):
         )
         norm1 = LayerNormD8(param_dtype=self.param_dtype, name="norm1")
         norm2 = LayerNormD8(param_dtype=self.param_dtype, name="norm2")
+
+        if packed:
+            # flat-E views: 5 plain lane slices / one concat — E never
+            # becomes [..., 2, C/4] (that reshape is a tiled-layout
+            # relayout of the whole stream, ~0.26 ms/block in traces)
+            def unpack_fe(x):
+                return tuple(
+                    x[..., g * c8:(g + 1) * c8] for g in range(4)
+                ) + (x[..., 4 * c8:],)
+
+            def pack_fe(ys):
+                return jnp.concatenate(ys, axis=-1)
+
+            X = xs
+            dt = X.dtype
+            # materialize norm/layerscale params with dummy calls (dead
+            # compute, DCE'd) so the tree matches the tuple path, then read
+            # them back as full-width vectors.
+            dummy = tuple(jnp.zeros((1, 1, c8), dt) for _ in range(4)) + (
+                jnp.zeros((1, 1, 2, 2 * c8), dt),
+            )
+            norm1(dummy)
+            norm2(dummy)
+            if self.layerscale_init is not None:
+                scale_mod("ls1")(dummy)
+                scale_mod("ls2")(dummy)
+
+            def vec_of(p):
+                a1d = p["alpha_1d"].astype(dt)
+                ae = p["alpha_e"].astype(dt)
+                return jnp.concatenate((a1d.reshape(-1), ae, ae))
+
+            def norm_vecs(name):
+                p = self.get_variable("params", name)["affine"]
+                alpha = vec_of(p)
+                beta = p.get("beta_a1")
+                if beta is None:
+                    return alpha, None
+                bvec = jnp.zeros((dim,), dt).at[:c8].set(beta.astype(dt))
+                return alpha, bvec
+
+            def apply_norm(x, name):
+                alpha, beta = norm_vecs(name)
+                y = layer_norm_d8_stats_flat(x, eps=1e-5) * alpha
+                return y + beta if beta is not None else y
+
+            def apply_ls(y, name):
+                if self.layerscale_init is None:
+                    return y
+                return y * vec_of(self.get_variable("params", name))
+
+            def droppath(y):
+                if self.drop_path == 0.0 or deterministic:
+                    return y
+                keep = 1.0 - self.drop_path
+                shape = (y.shape[0],) + (1,) * (y.ndim - 1)
+                mask = jax.random.bernoulli(
+                    self.make_rng("dropout"), keep, shape
+                )
+                return y * (mask.astype(y.dtype) / keep)
+
+            ys = attn(unpack_fe(apply_norm(X, "norm1")), deterministic)
+            X = X + droppath(apply_ls(pack_fe(ys), "ls1"))
+            ys = mlp(unpack_fe(apply_norm(X, "norm2")), deterministic)
+            return X + droppath(apply_ls(pack_fe(ys), "ls2"))
 
         if fuse_epilogue:
             xs = attn(

@@ -14,6 +14,7 @@ from typing import Any, Callable, Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
 
 Array = jnp.ndarray
 
@@ -128,6 +129,9 @@ class Attention(nn.Module):
 
             qkv_flat = dense(3 * c, self.qkv_bias, "qkv")(x)
             out = standard_attention(qkv_flat, h)
+            # saved under the selective remat policy (scan_blocks.py):
+            # recomputing the kernel in bwd costs more than the 21 MB save
+            out = _checkpoint_name(out, "attn_out")
             out = dense(c, self.proj_bias, "proj")(out)
             return nn.Dropout(self.proj_drop)(out, deterministic)
 

@@ -236,6 +236,11 @@ class OcticVisionTransformer(nn.Module):
         xs = self._cat_cls_and_registers(xs, b)
 
         if self.scan_blocks:
+            # NOTE: a flat packed single-array carry (BlockD8 packed path)
+            # was measured 448.7 vs 457.9 img/s here — the pack/unpack
+            # traffic around the matmul kernels eats the elementwise
+            # savings; XLA already fuses the tuple-carry elementwise ops.
+            # The packed path stays available for kernel-level fusion work.
             xs, _ = self.octic_stack(xs, deterministic)
             z = self._break_to_flat(xs)
             z, _ = self.standard_stack(z, deterministic)

@@ -41,13 +41,23 @@ class _ScanBlock(nn.Module):
 def make_scanned_stack(kind: str, cfg: dict, length: int, name: str,
                        remat: bool = False):
     """kind: 'octic' | 'standard'. Returns a module instance: call with
-    (carry, deterministic) -> (carry, None)."""
+    (carry, deterministic) -> (carry, None).
+
+    `remat` uses a SELECTIVE policy: attention outputs (tagged
+    `attn_out` via jax.ad_checkpoint.checkpoint_name in the attention
+    modules) are saved — recomputing the attention kernel in the backward
+    pass costs ~0.35 (standard) / ~0.65 (octic) ms/block on v5e while the
+    saved activation is only ~21 MB/block at B=32 — everything else
+    (qkv/mlp intermediates) is rematerialized."""
     target = _ScanBlockD8 if kind == "octic" else _ScanBlock
     if remat:
+        import jax
+
         target = nn.remat(
             target,
             static_argnums=(2,),  # deterministic flag stays static
             prevent_cse=False,
+            policy=jax.checkpoint_policies.save_only_these_names("attn_out"),
         )
     scanned = nn.scan(
         target,

@@ -19,8 +19,10 @@ import jax.numpy as jnp
 from octic_vits_tpu.d8.group import (
     isotypic_to_regular,
     pack_8_to_5,
+    pack_8_to_5f,
     regular_to_isotypic,
     unpack_5_to_8,
+    unpack_5f_to_8,
 )
 
 Tuple5 = Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]
@@ -33,9 +35,13 @@ def gelu_d8_eager(xs: Tuple5) -> Tuple5:
     including the E-slot unpacking used by its kernel tests
     (reference: octic_vits/d8_gelu.py:519-536).
     """
-    reg = isotypic_to_regular(unpack_5_to_8(xs))
+    flat_e = xs[4].ndim == xs[0].ndim  # flat-E tuple (TPU packed path)
+    reg = isotypic_to_regular(
+        unpack_5f_to_8(xs) if flat_e else unpack_5_to_8(xs)
+    )
     act = tuple(jax.nn.gelu(x, approximate=False) for x in reg)
-    return pack_8_to_5(regular_to_isotypic(act))
+    iso = regular_to_isotypic(act)
+    return pack_8_to_5f(iso) if flat_e else pack_8_to_5(iso)
 
 
 def gelu_d8(xs: Tuple5, use_pallas: bool = False) -> Tuple5:

@@ -419,12 +419,16 @@ linear_d8_qkv_wide.defvjp(_qkv_wide_fwd_rule, _qkv_wide_bwd_rule)
 
 
 def linear_d8_tuple(xs, w1, we, bias, fuse_gelu=False, interpret=None,
-                    layerscale=None, residual=None):
+                    layerscale=None, residual=None, flat_e=False):
     """5-tuple wrapper: (a1,a2,b1,b2,e[...,2,2c]) -> 5-tuple of width f.
 
     `layerscale` = (alpha_1d [4,f], alpha_e [2f]) and `residual` (a 5-tuple
     of output shape) fuse  y = residual + alpha * linear(x)  into the
-    kernel epilogue (the block's LayerScale + residual add)."""
+    kernel epilogue (the block's LayerScale + residual add).
+
+    `flat_e=True`: E travels as ONE flat [..., 4c] array [row0|row1] — the
+    kernel's own layout — skipping the [..., 2, 2c] relayouts on both
+    sides (the TPU packed-trunk path)."""
     a1 = xs[0]
     lead = a1.shape[:-1]
     m = 1
@@ -443,5 +447,5 @@ def linear_d8_tuple(xs, w1, we, bias, fuse_gelu=False, interpret=None,
         x1, xef, w1, we, bias, ls1, lse, r1, ref_, fuse_gelu, interpret
     )
     outs = tuple(y1[g].reshape(*lead, f) for g in range(4))
-    e = yef.reshape(*lead, 2, 2 * f)
+    e = yef.reshape(*lead, 4 * f) if flat_e else yef.reshape(*lead, 2, 2 * f)
     return outs + (e,)

@@ -39,21 +39,23 @@ def build(model):
     return state, step, img, labels
 
 
-def run(name, model):
+def run(name, model, iters=12):
     state, step, img, labels = build(model)
     t0 = time.time()
     state, metrics = step(state, img, labels, jax.random.PRNGKey(1))
     loss0 = float(metrics["loss"])  # forces completion
     print(f"{name}: compile+step {time.time()-t0:.1f}s loss={loss0:.3f}",
           flush=True)
-    ts = []
-    for _ in range(6):
-        t0 = time.time()
-        state, metrics = step(state, img, labels, jax.random.PRNGKey(1))
-        float(metrics["loss"])
-        ts.append(time.time() - t0)
-    p50 = float(np.median(ts))
-    print(f"{name}: train step p50 {p50*1e3:.1f} ms -> {B/p50:.1f} img/s",
+    # async back-to-back steps; sync once — per-step host sync would add
+    # ~50 ms of axon relay latency to every step
+    state, metrics = step(state, img, labels, jax.random.PRNGKey(1))
+    jax.block_until_ready(metrics)
+    t0 = time.time()
+    for i in range(iters):
+        state, metrics = step(state, img, labels, jax.random.PRNGKey(i))
+    jax.block_until_ready(metrics)
+    p50 = (time.time() - t0) / iters
+    print(f"{name}: train step {p50*1e3:.1f} ms -> {B/p50:.1f} img/s",
           flush=True)
     return p50
 
@@ -64,11 +66,16 @@ common = dict(
     scan_blocks=True, remat=True,
 )
 which = sys.argv[1] if len(sys.argv) > 1 else "all"
+if len(sys.argv) > 2:
+    B = int(sys.argv[2])
+if "--no-remat" in sys.argv:
+    common["remat"] = False
 if which in ("all", "hybrid"):
     h = run("hybrid(kernels)", OcticVisionTransformer(
-        use_pallas_attention=True, use_pallas_linear=True, **common))
+        use_pallas_attention=True, use_pallas_linear=True,
+        use_pallas_std_mlp=True, **common))
 if which in ("all", "std"):
     s = run("standard(kernels)", VisionTransformer(
-        use_pallas_attention=True, **common))
+        use_pallas_attention=True, use_pallas_mlp=True, **common))
     if which == "all":
         print(f"train-step speedup hybrid vs std: {s/h:.3f}", flush=True)

@@ -115,3 +115,44 @@ def test_fused_block_equivariance():
         fuse_block_epilogues=True,
     )
     check_iso_to_iso(init_and_bind(mod, xs), shape=(2, 7, 16))
+
+
+def test_block_packed_flat_carry_matches_tuple():
+    """BlockD8 on the flat packed container (pack_5_to_flat layout) must
+    equal the tuple path bit-for-bit-ish on the same params — plain and
+    with all Pallas kernels (interpret on CPU) — and create the identical
+    parameter tree."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from octic_vits_tpu.d8.group import pack_5_to_flat
+
+    b, n, c8 = 2, 9, 16
+    xs = tuple(
+        jax.random.normal(jax.random.PRNGKey(i), (b, n, c8)) for i in range(4)
+    ) + (jax.random.normal(jax.random.PRNGKey(9), (b, n, 2, 2 * c8)),)
+    X = pack_5_to_flat(xs)
+    for kernels in (False, True):
+        blk = BlockD8(
+            num_heads=2, qkv_bias=True, layerscale_init=1e-1,
+            use_pallas_attention=kernels, use_pallas_linear=kernels,
+            use_pallas_gelu=kernels,
+        )
+        v = blk.init(jax.random.PRNGKey(0), xs)
+        v2 = blk.init(jax.random.PRNGKey(1), X)
+        assert (
+            jax.tree.map(lambda a: a.shape, v["params"])
+            == jax.tree.map(lambda a: a.shape, v2["params"])
+        )
+        want = pack_5_to_flat(blk.apply(v, xs))
+        got = blk.apply(v, X)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-6,
+            err_msg=f"kernels={kernels}",
+        )
+        # droppath branch runs and stays finite
+        out_d = blk.apply(
+            v, X, False, rngs={"dropout": jax.random.PRNGKey(5)}
+        )
+        assert bool(jnp.all(jnp.isfinite(out_d)))
