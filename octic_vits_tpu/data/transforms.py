@@ -33,6 +33,12 @@ def to_normalized_array(img: Image.Image) -> np.ndarray:
     return (arr - IMAGENET_MEAN) / IMAGENET_STD
 
 
+def to_uint8_array(img: Image.Image) -> np.ndarray:
+    """PIL -> uint8 [H, W, 3]: 4x cheaper worker->main transport than
+    float32; normalize later in collate (native C++ batch kernel)."""
+    return np.asarray(img.convert("RGB"), np.uint8)
+
+
 def resize_center_crop(img: Image.Image, size: int, crop_ratio: float = 0.875):
     resize_to = int(size / crop_ratio)
     w, h = img.size
@@ -162,6 +168,9 @@ class DataAugmentationDINO:
         self.local_crops_number = local_crops_number
         self.global_crops_size = global_crops_size
         self.local_crops_size = local_crops_size
+        # False -> emit uint8 crops (normalize in collate; cheaper worker
+        # transport + one vectorized/native normalization pass)
+        self.normalize = True
 
     def _color(self, img, rng):
         if rng.random() < 0.8:
@@ -189,15 +198,16 @@ class DataAugmentationDINO:
         if rng.random() < 0.2:
             g2 = ImageOps.solarize(g2, threshold=128)
 
+        to_arr = to_normalized_array if self.normalize else to_uint8_array
         locals_ = []
         for _ in range(self.local_crops_number):
             lc = self._geo(image, self.local_crops_size, self.local_crops_scale, rng)
             lc = self._color(lc, rng)
             if rng.random() < 0.5:
                 lc = gaussian_blur(lc, rng)
-            locals_.append(to_normalized_array(lc))
+            locals_.append(to_arr(lc))
         return {
-            "global_crops": [to_normalized_array(g1), to_normalized_array(g2)],
+            "global_crops": [to_arr(g1), to_arr(g2)],
             "local_crops": locals_,
         }
 

@@ -537,6 +537,12 @@ class AttentionD8(nn.Module):
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     use_pallas_attention: bool = False  # fused per-(b,h) VMEM attention
+    # wide-1d qkv: evaluate the four 1-dim irrep qkv blocks as ONE
+    # column-permuted block-diagonal matmul whose output interleaves
+    # (head, irrep) — the attention kernel then loads the 1d part of each
+    # head as a single 4*d1-wide slice instead of four d1-wide ones
+    # (the measured ~0.6 ms/block assembly tax). Parameter tree unchanged.
+    use_wide_qkv: bool = False
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
@@ -556,7 +562,90 @@ class AttentionD8(nn.Module):
         # the MLP where the GELU epilogue folds in.
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         flat_e = xs[4].ndim == xs[0].ndim  # flat-E tuple (TPU packed path)
-        qkvs = LinearD8(3 * c, use_bias=self.qkv_bias, name="qkv", **common)(xs)
+        qkv_mod = LinearD8(3 * c, use_bias=self.qkv_bias, name="qkv", **common)
+
+        wide = (
+            self.use_wide_qkv
+            and self.use_pallas_attention
+            and not (self.attn_drop > 0.0 and not deterministic)
+        )
+        if wide:
+            import numpy as onp
+
+            from octic_vits_tpu.ops.pallas_attention import (
+                octic_attention_wide1d,
+            )
+
+            dt = self.dtype or xs[0].dtype
+            d1 = c8 // h
+            # materialize the qkv params with a dummy call (dead compute,
+            # DCE'd) so the tree matches the non-wide path exactly
+            dummy = tuple(
+                jnp.zeros((1, 1, c8), xs[0].dtype) for _ in range(4)
+            ) + (jnp.zeros((1, 1, 2, 2 * c8), xs[0].dtype),)
+            qkv_mod(dummy)
+            p = self.get_variable("params", "qkv")
+            w1 = p["kernel_1d"].astype(dt)   # [4, c8, 3c8], cols (s, h, d)
+            we = p["kernel_e"].astype(dt)    # [2c8, 6c8]
+            # block-diagonal 1d weight with a STATIC column permutation to
+            # the wide (s, head, irrep, d1) order — pure index relabeling,
+            # math identical to the four per-irrep matmuls
+            bd = jax.scipy.linalg.block_diag(w1[0], w1[1], w1[2], w1[3])
+            src = onp.empty((12 * c8,), onp.int32)
+            for s in range(3):
+                for hh in range(h):
+                    for g in range(4):
+                        base = ((s * h + hh) * 4 + g) * d1
+                        for d in range(d1):
+                            src[base + d] = g * 3 * c8 + s * c8 + hh * d1 + d
+            w_wide = jnp.take(bd, jnp.asarray(src), axis=1)
+            xcat = jnp.concatenate([x.astype(dt) for x in xs[:4]], axis=-1)
+            y = jnp.dot(xcat, w_wide, preferred_element_type=dt)
+            if self.qkv_bias:
+                bias = p["bias_a1"].astype(dt)       # [3c8], (s, h, d)
+                g0 = onp.array(
+                    [((s * h + hh) * 4) * d1 + d
+                     for s in range(3) for hh in range(h) for d in range(d1)],
+                    onp.int32,
+                )
+                bvec = jnp.zeros((12 * c8,), dt).at[jnp.asarray(g0)].set(bias)
+                y = y + bvec
+            q1d = y[..., : 4 * c8]
+            k1d = y[..., 4 * c8: 8 * c8]
+            v1d = y[..., 8 * c8:]
+            # E exactly as the non-wide path: one batched dot, slice the
+            # OUTPUT rows (two separate input-row dots measured slower)
+            if flat_e:
+                ef = xs[4].astype(dt)
+                qe0 = jnp.dot(ef[..., : 2 * c8], we, preferred_element_type=dt)
+                qe1 = jnp.dot(ef[..., 2 * c8:], we, preferred_element_type=dt)
+            else:
+                oe_full = jnp.dot(
+                    xs[4].astype(dt), we, preferred_element_type=dt
+                )
+                qe0 = oe_full[:, :, 0]
+                qe1 = oe_full[:, :, 1]
+            o1, o2, o3, o4, oe0, oe1 = octic_attention_wide1d(
+                q1d, k1d, v1d, qe0, qe1, h
+            )
+            o1, o2, o3, o4, oe0, oe1 = (
+                _checkpoint_name(t, "attn_out")
+                for t in (o1, o2, o3, o4, oe0, oe1)
+            )
+            if flat_e:
+                oe = jnp.concatenate((oe0, oe1), axis=-1)
+            else:
+                oe = jnp.stack((oe0, oe1), axis=2)
+            ys = LinearD8(
+                c, use_bias=self.proj_bias,
+                use_pallas=layerscale is not None, name="proj", **common,
+            )(
+                (o1, o2, o3, o4, oe),
+                layerscale=layerscale, residual=residual,
+            )
+            return DropoutD8(self.proj_drop)(ys, deterministic)
+
+        qkvs = qkv_mod(xs)
 
         if self.use_pallas_attention and not (
             self.attn_drop > 0.0 and not deterministic
@@ -669,6 +758,7 @@ class BlockD8(nn.Module):
     use_pallas_gelu: bool = False
     use_pallas_linear: bool = False
     use_pallas_attention: bool = False
+    use_wide_qkv: bool = False  # see AttentionD8.use_wide_qkv
     # Fold ls*y + residual into the proj/fc2 kernel epilogues. Measured a
     # net LOSS on v5e (the epilogue routes proj through the pallas linear,
     # which is slower than XLA's batched dot for C->C shapes, and re-DMAs
@@ -735,6 +825,7 @@ class BlockD8(nn.Module):
             attn_drop=self.attn_drop,
             proj_drop=self.drop,
             use_pallas_attention=self.use_pallas_attention,
+            use_wide_qkv=self.use_wide_qkv,
             name="attn",
             **common,
         )

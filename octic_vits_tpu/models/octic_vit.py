@@ -61,6 +61,7 @@ class OcticVisionTransformer(nn.Module):
     use_pallas_linear: bool = False
     use_pallas_attention: bool = False
     use_pallas_std_mlp: bool = False
+    use_wide_qkv: bool = False  # wide-1d octic attention qkv (AttentionD8)
     fuse_mlp_branch: bool = False
     dtype: Any = None
     param_dtype: Any = jnp.float32
@@ -134,6 +135,7 @@ class OcticVisionTransformer(nn.Module):
             use_pallas_gelu=self.use_pallas_gelu,
             use_pallas_linear=self.use_pallas_linear,
             use_pallas_attention=self.use_pallas_attention,
+            use_wide_qkv=self.use_wide_qkv,
             fuse_mlp_branch=self.fuse_mlp_branch,
             dtype=self.dtype,
             param_dtype=self.param_dtype,

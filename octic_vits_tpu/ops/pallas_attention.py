@@ -265,6 +265,131 @@ octic_attention.defvjp(_octic_fwd_rule, _octic_bwd_rule)
 
 
 # ---------------------------------------------------------------------------
+# octic wide-1d variant: the four 1-dim irreps' qkv arrive as THREE
+# [B, N, 4*C/8] arrays (q1d, k1d, v1d) whose columns are (head, irrep, d1)
+# interleaved — produced by a column-permuted block-diagonal qkv matmul
+# (AttentionD8 wide path). Per head the 1d part of each operand is ONE
+# 4*d1-wide slice instead of four d1-wide slices from four arrays (the
+# measured ~0.6 ms/block assembly tax); E keeps the natural per-row layout.
+# The backward stores dq/dk/dv in the same wide layout (three wide stores
+# per head instead of twelve d1-wide ones).
+# ---------------------------------------------------------------------------
+
+
+def _w1d_operand(arr, e0, e1, h, num_heads, d1, de, s_idx):
+    w1 = 4 * d1
+    off = (s_idx * num_heads + h) * de
+    return jnp.concatenate(
+        (
+            arr[0][:, h * w1:(h + 1) * w1],
+            e0[0][:, off:off + de],
+            e1[0][:, off:off + de],
+        ),
+        axis=1,
+    )
+
+
+def _octic_w1d_fwd_kernel(q1d, k1d, v1d, e0, e1,
+                          o1, o2, o3, o4, oe0, oe1,
+                          *, num_heads, d1, de, scale):
+    dtype = q1d.dtype
+    w1 = 4 * d1
+    for h in range(num_heads):
+        q = _w1d_operand(q1d, e0, e1, h, num_heads, d1, de, 0)
+        k = _w1d_operand(k1d, e0, e1, h, num_heads, d1, de, 1)
+        v = _w1d_operand(v1d, e0, e1, h, num_heads, d1, de, 2)
+        out = _attn_head(q, k, v, scale, dtype)  # [N, 4*d1 + 2*de] fp32
+        outs = (o1, o2, o3, o4)
+        for g in range(4):
+            outs[g][0, :, h * d1:(h + 1) * d1] = (
+                out[:, g * d1:(g + 1) * d1].astype(dtype)
+            )
+        for r, oref in ((0, oe0), (1, oe1)):
+            off = w1 + r * de
+            oref[0, :, h * de:(h + 1) * de] = (
+                out[:, off:off + de].astype(dtype)
+            )
+
+
+def _octic_w1d_bwd_kernel(q1d, k1d, v1d, e0, e1,
+                          g1, g2, g3, g4, ge0, ge1,
+                          dq1d, dk1d, dv1d, de0_, de1_,
+                          *, num_heads, d1, de, scale):
+    dtype = q1d.dtype
+    w1 = 4 * d1
+    for h in range(num_heads):
+        q = _w1d_operand(q1d, e0, e1, h, num_heads, d1, de, 0)
+        k = _w1d_operand(k1d, e0, e1, h, num_heads, d1, de, 1)
+        v = _w1d_operand(v1d, e0, e1, h, num_heads, d1, de, 2)
+        g_pieces = [arr[0][:, h * d1:(h + 1) * d1] for arr in (g1, g2, g3, g4)]
+        g_pieces += [arr[0][:, h * de:(h + 1) * de] for arr in (ge0, ge1)]
+        g = jnp.concatenate(g_pieces, axis=1)
+        dq, dk, dv = _attn_head_bwd(q, k, v, g, scale, dtype)
+        for s_idx, dmat, dref in ((0, dq, dq1d), (1, dk, dk1d), (2, dv, dv1d)):
+            dref[0, :, h * w1:(h + 1) * w1] = dmat[:, :w1].astype(dtype)
+            off = (s_idx * num_heads + h) * de
+            de0_[0, :, off:off + de] = dmat[:, w1:w1 + de].astype(dtype)
+            de1_[0, :, off:off + de] = dmat[:, w1 + de:].astype(dtype)
+
+
+def _w1d_params(q1d, num_heads):
+    b, n, w = q1d.shape         # w = 4*C/8
+    c = 2 * w
+    c8 = c // 8
+    d1 = c8 // num_heads
+    de = 2 * c8 // num_heads
+    scale = (c // num_heads) ** -0.5
+    return b, n, c8, d1, de, scale
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def octic_attention_wide1d(q1d, k1d, v1d, e0, e1, num_heads: int,
+                           interpret: Optional[bool] = None):
+    """Wide-1d octic attention.
+
+    q1d/k1d/v1d: [B, N, C/2], columns (head, [a1|a2|b1|b2], d1);
+    e0, e1: [B, N, 3C/4] packed-E rows, columns (3, head, de) — identical
+    to `octic_attention`. Outputs in the same natural per-irrep layouts."""
+    return _w1d_fwd(q1d, k1d, v1d, e0, e1, num_heads, interpret)
+
+
+def _w1d_fwd(q1d, k1d, v1d, e0, e1, num_heads, interpret):
+    b, n, c8, d1, de, scale = _w1d_params(q1d, num_heads)
+    shapes = (
+        *(jax.ShapeDtypeStruct((b, n, c8), q1d.dtype) for _ in range(4)),
+        jax.ShapeDtypeStruct((b, n, 2 * c8), q1d.dtype),
+        jax.ShapeDtypeStruct((b, n, 2 * c8), q1d.dtype),
+    )
+    kwargs = dict(num_heads=num_heads, d1=d1, de=de, scale=scale)
+    return _octic_call(
+        _octic_w1d_fwd_kernel, 6, shapes, (q1d, k1d, v1d, e0, e1), b,
+        _auto_interpret(interpret), kwargs,
+    )
+
+
+def _w1d_fwd_rule(q1d, k1d, v1d, e0, e1, num_heads, interpret):
+    out = _w1d_fwd(q1d, k1d, v1d, e0, e1, num_heads, interpret)
+    return out, (q1d, k1d, v1d, e0, e1)
+
+
+def _w1d_bwd_rule(num_heads, interpret, res, cots):
+    q1d, k1d, v1d, e0, e1 = res
+    g1, g2, g3, g4, ge0, ge1 = cots
+    b, n, c8, d1, de, scale = _w1d_params(q1d, num_heads)
+    shapes = tuple(jax.ShapeDtypeStruct(x.shape, x.dtype)
+                   for x in (q1d, k1d, v1d, e0, e1))
+    kwargs = dict(num_heads=num_heads, d1=d1, de=de, scale=scale)
+    return _octic_call(
+        _octic_w1d_bwd_kernel, 5, shapes,
+        (q1d, k1d, v1d, e0, e1, g1, g2, g3, g4, ge0, ge1), b,
+        _auto_interpret(interpret), kwargs,
+    )
+
+
+octic_attention_wide1d.defvjp(_w1d_fwd_rule, _w1d_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
 # octic wide-qkv variant: qkv is ONE [B, N, 3C] array with per-(s, head)
 # contiguous [a1|a2|b1|b2|e0|e1] columns (produced by
 # pallas_linear.linear_d8_qkv_wide). Loads are the standard kernel's cheap

@@ -41,7 +41,7 @@ def make_folder(root: str, n: int, size: int = 500) -> None:
         )
 
 
-def bench_dinov2(root, n, batch, workers, n_local):
+def bench_dinov2(root, n, batch, workers, n_local, use_processes=False):
     from octic_vits_tpu.data.datasets import ImageFolder
     from octic_vits_tpu.data.loaders import DataLoader
     from octic_vits_tpu.data.samplers import EpochSampler
@@ -50,10 +50,15 @@ def bench_dinov2(root, n, batch, workers, n_local):
         MaskingGenerator, collate_crops_and_masks,
     )
 
+    from octic_vits_tpu.data import native
+
     aug = DataAugmentationDINO(
         global_crops_scale=(0.32, 1.0), local_crops_scale=(0.05, 0.32),
         local_crops_number=n_local, global_crops_size=224, local_crops_size=96,
     )
+    # uint8 through the workers (4x cheaper transport), one batch
+    # normalization pass in collate (native C++ kernel when built)
+    aug.normalize = False
     ds = ImageFolder(root, transform=aug)
     n_tokens = (224 // 16) ** 2
     gen = MaskingGenerator(224 // 16, num_masking_patches=n_tokens // 2)
@@ -68,10 +73,14 @@ def bench_dinov2(root, n, batch, workers, n_local):
         lc = np.stack(
             [s["local_crops"][j] for j in range(n_local) for s, _ in samples]
         )
+        if gc.dtype == np.uint8:
+            gc = native.normalize_batch(gc)
+            lc = native.normalize_batch(lc)
         return collate_crops_and_masks(gc, lc, n_tokens, gen, rng=rng)
 
     loader = DataLoader(ds, EpochSampler(len(ds)), batch_size=batch,
-                        collate_fn=collate, num_workers=workers)
+                        collate_fn=collate, num_workers=workers,
+                        use_processes=use_processes)
     # warmup one batch (thread spin-up)
     it = iter(loader)
     next(it)
@@ -119,10 +128,13 @@ def main():
         deit_ips = bench_deit(root, args.n, args.batch, args.workers)
         dino_ips = bench_dinov2(root, args.n, args.batch, args.workers,
                                 args.local_crops)
+        dino_proc = bench_dinov2(root, args.n, args.batch, args.workers,
+                                 args.local_crops, use_processes=True)
     print(f"deit 3-augment loader: {deit_ips:.1f} img/s "
           f"({args.workers} workers)")
     print(f"dinov2 multi-crop loader (2g+{args.local_crops}l + masking): "
-          f"{dino_ips:.1f} img/s ({args.workers} workers)")
+          f"{dino_ips:.1f} img/s threads, {dino_proc:.1f} img/s processes "
+          f"({args.workers} workers)")
 
 
 if __name__ == "__main__":

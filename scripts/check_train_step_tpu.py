@@ -73,7 +73,8 @@ if "--no-remat" in sys.argv:
 if which in ("all", "hybrid"):
     h = run("hybrid(kernels)", OcticVisionTransformer(
         use_pallas_attention=True, use_pallas_linear=True,
-        use_pallas_std_mlp=True, **common))
+        use_pallas_std_mlp=True, use_wide_qkv="--wide" in sys.argv,
+        **common))
 if which in ("all", "std"):
     s = run("standard(kernels)", VisionTransformer(
         use_pallas_attention=True, use_pallas_mlp=True, **common))

@@ -398,3 +398,49 @@ def test_mixup_cutmix():
     )
     assert mixed.shape == imgs.shape
     np.testing.assert_allclose(np.asarray(targets.sum(-1)), 1.0, atol=1e-5)
+
+
+def test_dataloader_process_workers(tmp_path):
+    """Fork-based process workers deliver the same sample set as threads
+    (dataset inherited by fork; per-worker reseeded RNG)."""
+    from PIL import Image
+
+    from octic_vits_tpu.data.datasets import ImageFolder
+    from octic_vits_tpu.data.loaders import DataLoader
+    from octic_vits_tpu.data.samplers import EpochSampler
+    from octic_vits_tpu.data.transforms import eval_transform
+
+    root = tmp_path / "pd"
+    (root / "a").mkdir(parents=True)
+    for i in range(8):
+        Image.new("RGB", (40, 40), (i * 25, 0, 0)).save(root / "a" / f"{i}.jpg")
+    ds = ImageFolder(str(root), transform=lambda im: eval_transform(im, 32))
+    loader = DataLoader(
+        ds, EpochSampler(len(ds), shuffle=False), batch_size=4,
+        num_workers=2, use_processes=True,
+    )
+    batches = list(loader)
+    assert len(batches) == 2
+    xs, ys = batches[0]
+    assert xs.shape == (4, 32, 32, 3) and list(ys) == [0, 0, 0, 0]
+    # matches the thread loader bit-for-bit (deterministic transform)
+    tl = DataLoader(ds, EpochSampler(len(ds), shuffle=False), batch_size=4,
+                    num_workers=2)
+    xs_t, _ = next(iter(tl))
+    np.testing.assert_array_equal(xs, xs_t)
+
+
+def test_dino_augmentation_uint8_mode():
+    from PIL import Image
+
+    from octic_vits_tpu.data.transforms import DataAugmentationDINO
+
+    aug = DataAugmentationDINO(local_crops_number=2, global_crops_size=32,
+                               local_crops_size=16)
+    aug.normalize = False
+    import random as pyrandom
+    out = aug(Image.new("RGB", (64, 64), (128, 64, 32)),
+              rng=pyrandom.Random(0))
+    assert out["global_crops"][0].dtype == np.uint8
+    assert out["global_crops"][0].shape == (32, 32, 3)
+    assert out["local_crops"][1].shape == (16, 16, 3)

@@ -222,3 +222,96 @@ def test_octic_wide_gradients_match():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(e), atol=1e-4, err_msg=f"arg {i}"
         )
+
+
+def test_octic_wide1d_matches_octic():
+    """octic_attention_wide1d == octic_attention when q1d/k1d/v1d are the
+    (head, irrep, d1) interleave of the per-irrep arrays; grads agree."""
+    import numpy as np
+
+    from octic_vits_tpu.ops.pallas_attention import (
+        octic_attention, octic_attention_wide1d,
+    )
+
+    b, n, c8, heads = 2, 9, 16, 2
+    c = 8 * c8
+    d1 = c8 // heads
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 6)
+    a = [jax.random.normal(ks[i], (b, n, 3 * c8)) for i in range(4)]
+    e0 = jax.random.normal(ks[4], (b, n, 6 * c8))
+    e1 = jax.random.normal(ks[5], (b, n, 6 * c8))
+
+    def widen(s):
+        # wide (head, irrep, d1) columns from per-irrep (s, h, d) arrays
+        cols = []
+        for h in range(heads):
+            for g in range(4):
+                cols.append(a[g][..., s * c8 + h * d1:(s * c8 + h * d1) + d1])
+        return jnp.concatenate(cols, axis=-1)
+
+    q1d, k1d, v1d = widen(0), widen(1), widen(2)
+    want = octic_attention(*a, e0, e1, heads)
+    got = octic_attention_wide1d(q1d, k1d, v1d, e0, e1, heads)
+    for i in range(6):
+        np.testing.assert_allclose(
+            np.asarray(got[i]), np.asarray(want[i]), atol=1e-5,
+            err_msg=f"out {i}",
+        )
+
+    def loss_wide(args):
+        o = octic_attention_wide1d(*args, heads)
+        return sum(jnp.sum(t ** 2) for t in o)
+
+    g = jax.grad(loss_wide)((q1d, k1d, v1d, e0, e1))
+    assert all(bool(jnp.all(jnp.isfinite(t))) for t in g)
+    # grad of e0 must match the narrow kernel's
+    def loss_narrow(e0_):
+        o = octic_attention(*a, e0_, e1, heads)
+        return sum(jnp.sum(t ** 2) for t in o)
+
+    ge0 = jax.grad(loss_narrow)(e0)
+    np.testing.assert_allclose(np.asarray(g[3]), np.asarray(ge0), atol=1e-4)
+
+
+def test_attention_d8_wide_qkv_module_parity():
+    """AttentionD8(use_wide_qkv=True) == base on identical params (fwd
+    exact; grads to 1e-6) with an identical parameter tree."""
+    import numpy as np
+
+    from octic_vits_tpu.layers.d8_layers import AttentionD8
+
+    b, n, c8, heads = 2, 9, 16, 2
+    xs = tuple(
+        jax.random.normal(jax.random.PRNGKey(i), (b, n, c8)) for i in range(4)
+    ) + (jax.random.normal(jax.random.PRNGKey(9), (b, n, 2, 2 * c8)),)
+    base = AttentionD8(num_heads=heads, qkv_bias=True, use_pallas_attention=True)
+    wide = AttentionD8(num_heads=heads, qkv_bias=True,
+                       use_pallas_attention=True, use_wide_qkv=True)
+    v = base.init(jax.random.PRNGKey(0), xs)
+    v2 = wide.init(jax.random.PRNGKey(1), xs)
+    assert (jax.tree.map(lambda a_: a_.shape, v["params"])
+            == jax.tree.map(lambda a_: a_.shape, v2["params"]))
+    out_b = base.apply(v, xs)
+    out_w = wide.apply(v, xs)
+    for i in range(5):
+        np.testing.assert_allclose(
+            np.asarray(out_w[i]), np.asarray(out_b[i]), atol=1e-6,
+        )
+
+    def loss(mod):
+        def f(vv):
+            o = mod.apply(vv, xs)
+            return sum(jnp.sum(t ** 2) for t in o)
+        return f
+
+    gb = jax.grad(loss(base))(v)
+    gw = jax.grad(loss(wide))(v)
+    for (pa, a_), (_, b_) in zip(
+        jax.tree_util.tree_leaves_with_path(gb),
+        jax.tree_util.tree_leaves_with_path(gw),
+    ):
+        name = "/".join(str(getattr(k, "key", k)) for k in pa)
+        np.testing.assert_allclose(
+            np.asarray(a_), np.asarray(b_), atol=1e-5, err_msg=name
+        )
