@@ -98,6 +98,13 @@ def _mlp_branch_kernel(
         for r in ne_rows
     ]  # each [TM, 2h8]
 
+    # bf16 path: hidden drops to bf16 between fc1 and fc2 (same rounding
+    # as the separate-kernel path) — halves the per-row VMEM footprint so
+    # row tiles double and weight-block refetches halve
+    if dtype == jnp.bfloat16:
+        h1 = [t.astype(dtype) for t in h1]
+        he = [t.astype(dtype) for t in he]
+
     # octic GELU on hidden slots
     e11, e12 = he[0][:, :h8], he[0][:, h8:]
     e21, e22 = he[1][:, :h8], he[1][:, h8:]
@@ -172,9 +179,13 @@ def mlp_branch_eager(xs, params, eps: float = 1e-5):
 
 
 def _row_tile(m: int, c8: int, h8: int, itemsize: int) -> int:
-    # hidden lives in fp32: 8 * h8 * 4 bytes per row dominates
-    budget = 5 * 1024 * 1024
-    per_row = 16 * c8 * itemsize + 8 * h8 * 4
+    # bf16 keeps the hidden in bf16 (see kernel); fp32 keeps it in fp32.
+    # Mosaic's scoped-vmem accounting charges ~65 KB/row at ViT-H shapes
+    # (gelu temporaries dominate, ~4x the live hidden), so the budget here
+    # is calibrated to land under the 16M scoped limit: measured 21.78M at
+    # tm=336, 16M-safe at tm<=224.
+    budget = int(3.4 * 1024 * 1024)
+    per_row = 16 * c8 * itemsize + 8 * h8 * (4 if itemsize == 4 else 2)
     tm = max(8, budget // max(per_row, 1))
     return max(8, min((tm // 8) * 8, m, 512))
 

@@ -2,6 +2,7 @@ from octic_vits_tpu.parallel.mesh import (
     DATA_AXIS,
     FSDP_AXIS,
     batch_sharding,
+    create_hybrid_mesh,
     create_mesh,
     replicated,
 )

@@ -38,6 +38,38 @@ def create_mesh(
     return Mesh(arr, (DATA_AXIS, FSDP_AXIS))
 
 
+def create_hybrid_mesh(fsdp: int = 1) -> Mesh:
+    """DCN-aware `(data, fsdp)` mesh for multi-slice pods.
+
+    Slices are connected by DCN (data-center network), chips within a
+    slice by ICI. The data axis is laid out slice-major so the per-step
+    gradient all-reduce hierarchically combines fast ICI reductions with
+    one DCN hop, and the fsdp axis stays strictly inside a slice so
+    ZeRO parameter all-gathers never cross DCN (scaling-book recipe;
+    replaces the reference's single-tier NCCL world,
+    dinov2/distributed/__init__.py:239-270).
+
+    On a single slice (or CPU) this degrades to :func:`create_mesh`.
+    """
+    devices = jax.devices()
+    n_slices = len({getattr(d, "slice_index", 0) for d in devices})
+    if n_slices <= 1:
+        return create_mesh(devices, fsdp=fsdp)
+    per_slice = len(devices) // n_slices
+    assert per_slice % fsdp == 0, (
+        f"fsdp={fsdp} must divide the {per_slice} chips of one slice "
+        "(parameter all-gathers must not cross DCN)"
+    )
+    from jax.experimental import mesh_utils
+
+    arr = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=(per_slice // fsdp, fsdp),
+        dcn_mesh_shape=(n_slices, 1),
+        devices=devices,
+    )
+    return Mesh(arr.reshape(-1, fsdp), (DATA_AXIS, FSDP_AXIS))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Batch axis sharded over the entire mesh (both axes)."""
     return NamedSharding(mesh, P((DATA_AXIS, FSDP_AXIS)))

@@ -118,3 +118,14 @@ def test_ema_update():
     state, _ = step(state, imgs, labels, jax.random.PRNGKey(2))
     after = jax.tree.leaves(state.ema_params)[0]
     assert float(jnp.abs(before - after).max()) > 0
+
+
+def test_create_hybrid_mesh_single_slice_fallback():
+    """On hosts without multi-slice topology the DCN-aware mesh equals the
+    plain (data, fsdp) mesh; fsdp must divide a slice."""
+    from octic_vits_tpu.parallel.mesh import create_hybrid_mesh, create_mesh
+
+    mesh = create_hybrid_mesh(fsdp=2)
+    ref = create_mesh(jax.devices(), fsdp=2)
+    assert mesh.shape == ref.shape
+    assert mesh.axis_names == ("data", "fsdp")
