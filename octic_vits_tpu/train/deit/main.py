@@ -31,7 +31,9 @@ from octic_vits_tpu.train.deit.engine import (
     make_eval_step,
 )
 from octic_vits_tpu.utils.checkpoint import CheckpointManager, PreemptionGuard
-from octic_vits_tpu.utils.logging import MetricLogger
+from octic_vits_tpu.utils.logging import (
+    MetricLogger, maybe_wandb_init, maybe_wandb_log,
+)
 
 
 def evaluate(model, params, loader, eval_step=None, log_every: int = 50):
@@ -101,6 +103,7 @@ def train(
         state = jax.device_put(restored, state_sh)
     guard = PreemptionGuard()
     logger = MetricLogger(output_file=os.path.join(output_dir, "log.txt"))
+    maybe_wandb_init("octic-vits-deit", config=dataclasses.asdict(cfg))
 
     n_hosts = jax.process_count()
     sampler = RASampler(
@@ -146,6 +149,7 @@ def train(
             )
             with open(os.path.join(output_dir, "log.txt"), "a") as f:
                 f.write(json.dumps({"epoch": epoch, **stats}) + "\n")
+            maybe_wandb_log({"epoch": epoch, **stats}, step=int(state.step))
             if stats["acc1"] > best_acc:
                 best_acc = stats["acc1"]
                 import orbax.checkpoint as ocp

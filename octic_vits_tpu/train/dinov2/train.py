@@ -28,7 +28,9 @@ from octic_vits_tpu.utils.checkpoint import (
     PreemptionGuard,
     save_teacher,
 )
-from octic_vits_tpu.utils.logging import MetricLogger
+from octic_vits_tpu.utils.logging import (
+    MetricLogger, maybe_wandb_init, maybe_wandb_log,
+)
 
 
 def ssl_batch_iterator(
@@ -91,6 +93,7 @@ def do_train(
     logger = MetricLogger(
         output_file=os.path.join(output_dir, "training_metrics.json")
     )
+    maybe_wandb_init("octic-vits-dinov2")
 
     if state is None:
         state = arch.init(jax.random.PRNGKey(seed))
@@ -142,6 +145,7 @@ def do_train(
             host_metrics = {k: float(v) for k, v in metrics.items()}
             if not np.isfinite(host_metrics["total_loss"]):
                 raise RuntimeError(f"NaN/Inf loss at iter {it}: {host_metrics}")
+            maybe_wandb_log(host_metrics, step=it)
             logger.update(lr=sched["lr"], wd=sched["wd"],
                           mom=sched["momentum"], **host_metrics)
             logger.dump_in_output_file(it, time.time() - t_end, data_time)

@@ -120,3 +120,38 @@ class MetricLogger:
             end = time.time()
             if n_iterations and i >= n_iterations + start_iteration:
                 break
+
+
+# --------------------------------------------------------------------------
+# optional wandb (the reference logs epochs/iterations to wandb when
+# configured — deit/main.py:455-461, dinov2/train/train.py:223-242;
+# here it is a no-op unless the package is installed and WANDB_ENTITY or
+# WANDB_PROJECT is set, so zero-egress environments run unchanged)
+# --------------------------------------------------------------------------
+
+_WANDB_RUN = None
+
+
+def maybe_wandb_init(project: str, config: dict | None = None,
+                     name: str | None = None):
+    """Start a wandb run if wandb is importable and configured; else no-op."""
+    global _WANDB_RUN
+    import os
+
+    if not (os.environ.get("WANDB_ENTITY") or os.environ.get("WANDB_PROJECT")):
+        return None
+    try:
+        import wandb
+    except ImportError:
+        return None
+    _WANDB_RUN = wandb.init(
+        project=os.environ.get("WANDB_PROJECT", project),
+        entity=os.environ.get("WANDB_ENTITY"),
+        name=name, config=config or {},
+    )
+    return _WANDB_RUN
+
+
+def maybe_wandb_log(metrics: dict, step: int | None = None) -> None:
+    if _WANDB_RUN is not None:
+        _WANDB_RUN.log(metrics, step=step)

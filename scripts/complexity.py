@@ -11,7 +11,11 @@ Usage: python scripts/complexity.py [--models large] [--batch 64]
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -37,21 +41,17 @@ MODELS = {
 }
 
 
-def throughput(model, batch, iters=100, warmup=10):
+def throughput(model, batch):
+    from octic_vits_tpu.utils.benchlib import measure_steps
+
     images = jnp.zeros((batch, 224, 224, 3), jnp.bfloat16)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), images)
-    fn = jax.jit(model.apply)  # params as args, never closure constants
-    jax.block_until_ready(fn(params, images))
-    for _ in range(warmup - 1):
-        out = fn(params, images)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(params, images)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    # on-device fori_loop with a data dependence between iterations —
+    # plain repeated dispatch through the axon relay pipelines unboundedly
+    # and reports enqueue rate, not device time (utils/benchlib.py)
+    step = measure_steps(model.apply, params, images)
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
-    return batch * iters / dt, n_params
+    return batch / step, n_params
 
 
 def main():
@@ -69,7 +69,20 @@ def main():
                 g_macs = gmacs(standard_vit_macs(spec))
             else:
                 g_macs = gmacs(octic_vit_macs(spec, invariant=kind == "invariant"))
-            model = create_model(name, dtype=jnp.bfloat16)
+            # best config, like the reference benching under --amp
+            # --compile (experiments/complexity.py:13-15): scan trunk +
+            # fused kernels on TPU (kernels interpret too slowly on CPU)
+            on_tpu = jax.default_backend() not in ("cpu",)
+            kernel_kw = dict(
+                scan_blocks=True,
+                use_pallas_attention=on_tpu,
+            )
+            if kind == "standard":
+                kernel_kw["use_pallas_mlp"] = on_tpu
+            else:
+                kernel_kw["use_pallas_linear"] = on_tpu
+                kernel_kw["use_pallas_std_mlp"] = on_tpu
+            model = create_model(name, dtype=jnp.bfloat16, **kernel_kw)
             ips, n_params = throughput(model, args.batch)
             print(f"{name:42s} {n_params/1e6:10.1f} {g_macs:8.1f} {ips:10.1f}")
 
