@@ -68,10 +68,15 @@ def build_probe_features(
 
 
 class LinearProbeBank:
-    """A vmapped bank of linear classifiers with per-classifier lr."""
+    """A vmapped bank of linear classifiers with per-classifier lr.
+
+    With `mesh` the step is data-parallel over the feature batch
+    (classifier weights replicated, feats/labels sharded over the mesh;
+    XLA all-reduces the gradients) — the SPMD analog of the reference's
+    DDP-wrapped AllClassifiers module (dinov2/eval/linear.py:254-258)."""
 
     def __init__(self, dim: int, num_classes: int, lrs: Sequence[float],
-                 momentum: float = 0.9, iters: int = 12500):
+                 momentum: float = 0.9, iters: int = 12500, mesh=None):
         self.dim = dim
         self.num_classes = num_classes
         self.lrs = jnp.asarray(lrs, jnp.float32)
@@ -82,8 +87,8 @@ class LinearProbeBank:
         self.b = jnp.zeros((n, num_classes), jnp.float32)
         self.mw = jnp.zeros_like(self.w)
         self.mb = jnp.zeros_like(self.b)
+        self.mesh = mesh
 
-        @jax.jit
         def step(w, b, mw, mb, feats, labels, lr_scale):
             def loss_fn(w, b):
                 logits = jnp.einsum("bd,ndc->nbc", feats, w) + b[:, None, :]
@@ -102,7 +107,18 @@ class LinearProbeBank:
             b = b - lr[:, :, 0] * mb
             return w, b, mw, mb, per_clf
 
-        self._step = step
+        if mesh is None:
+            self._step = jax.jit(step)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            batch = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+            self._step = jax.jit(
+                step,
+                in_shardings=(rep, rep, rep, rep, batch, batch, None),
+                out_shardings=(rep, rep, rep, rep, rep),
+            )
 
     def lr_scale(self, it: int) -> float:
         return 0.5 * (1 + np.cos(np.pi * it / max(self.iters, 1)))
@@ -127,6 +143,7 @@ def train_and_eval_linear_probes(
     lrs: Sequence[float] = DEFAULT_LRS,
     variants: Sequence[ProbeVariant] = DEFAULT_VARIANTS,
     batch_size: int = 256,
+    mesh=None,
 ) -> Dict[str, float]:
     """Full grid training + best-classifier selection
     (reference: dinov2/eval/linear.py:465-628).
@@ -151,7 +168,7 @@ def train_and_eval_linear_probes(
             feats = build_probe_features(outs, v)
             if v.name not in banks:
                 banks[v.name] = LinearProbeBank(
-                    feats.shape[-1], num_classes, lrs, iters=iters
+                    feats.shape[-1], num_classes, lrs, iters=iters, mesh=mesh
                 )
             banks[v.name].train_step(feats, labels, it)
         it += 1

@@ -99,15 +99,17 @@ class SSLMetaArch:
     def __init__(self, cfg: SSLConfig):
         self.cfg = cfg
         on_tpu = jax.default_backend() not in ("cpu",)
-        kernel_kwargs = (
-            dict(use_pallas_attention=True, use_pallas_linear=True)
-            if cfg.use_pallas_kernels and on_tpu
-            else {}
-        )
-        if "use_pallas_linear" in kernel_kwargs and not cfg.arch.startswith(
-            ("hybrid", "d8", "_test")
-        ):
-            kernel_kwargs.pop("use_pallas_linear")  # standard ViTs lack it
+        octic_arch = cfg.arch.startswith(("hybrid", "d8", "_test"))
+        if cfg.use_pallas_kernels and on_tpu:
+            # NOT the MLP kernels: measured slightly slower for the SSL
+            # step (hybrid 266 vs 263 ms, standard 280 vs 268 at ViT-L/16
+            # B=16) — the 37-token local-crop forwards don't amortize the
+            # dense kernel's row tiling
+            kernel_kwargs = dict(use_pallas_attention=True)
+            if octic_arch:
+                kernel_kwargs.update(use_pallas_linear=True)
+        else:
+            kernel_kwargs = {}
         self.backbone = create_model(
             cfg.arch,
             img_size=cfg.img_size,

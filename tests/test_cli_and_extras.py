@@ -99,3 +99,33 @@ def test_three_augment_shapes():
         arr = three_augment(img, size=32, rng=random.Random(seed))
         assert arr.shape == (32, 32, 3)
         assert np.isfinite(arr).all()
+
+
+def test_wandb_shims(monkeypatch):
+    """maybe_wandb_* no-op without config, activate with a fake wandb."""
+    import sys
+    import types
+
+    from octic_vits_tpu.utils import logging as L
+
+    monkeypatch.delenv("WANDB_ENTITY", raising=False)
+    monkeypatch.delenv("WANDB_PROJECT", raising=False)
+    monkeypatch.setattr(L, "_WANDB_RUN", None)
+    assert L.maybe_wandb_init("proj") is None
+    L.maybe_wandb_log({"x": 1})  # no-op
+
+    logged = []
+
+    class _Run:
+        def log(self, metrics, step=None):
+            logged.append((metrics, step))
+
+    fake = types.ModuleType("wandb")
+    fake.init = lambda **kw: _Run()
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+    monkeypatch.setenv("WANDB_PROJECT", "test-proj")
+    run = L.maybe_wandb_init("proj")
+    assert run is not None
+    L.maybe_wandb_log({"loss": 0.5}, step=3)
+    assert logged == [({"loss": 0.5}, 3)]
+    monkeypatch.setattr(L, "_WANDB_RUN", None)

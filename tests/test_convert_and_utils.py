@@ -387,6 +387,20 @@ def test_knn_and_linear_probe():
     f = build_probe_features(outs, ProbeVariant("4_avg", 4, True))
     assert f.shape == (2, 4 * 8 + 8)
 
+    # sharded bank (DDP analog): same training result on an 8-device mesh
+    from octic_vits_tpu.parallel import create_mesh
+
+    mesh = create_mesh(jax.devices()[:8], fsdp=2)
+    bank_sh = LinearProbeBank(dim=16, num_classes=4, lrs=[0.1, 0.01],
+                              iters=50, mesh=mesh)
+    for it in range(50):
+        bank_sh.train_step(jnp.asarray(train_x, jnp.float32),
+                           jnp.asarray(train_y), it)
+    logits_sh = np.asarray(bank_sh.predict(jnp.asarray(test_x, jnp.float32)))
+    acc_sh = (logits_sh.argmax(-1) == test_y[None]).mean(-1)
+    assert acc_sh.max() > 0.9
+    np.testing.assert_allclose(logits_sh, logits, atol=1e-4)
+
 
 def test_mixup_cutmix():
     from octic_vits_tpu.data.mixup import mixup_cutmix
