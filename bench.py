@@ -89,8 +89,23 @@ def main():
     if len(sys.argv) > 2 and sys.argv[1] == "--child":
         _child(sys.argv[2])
         return
-    hybrid_ips = _run_child("hybrid")
-    standard_ips = _run_child("standard")
+    # best-of-2 per model: cross-process variance on this host is a few
+    # percent (one outlier measured standard at 429 vs its steady 412),
+    # and host contention can starve the timing entirely (a concurrent
+    # pytest run once produced 17.7 "img/s") — min-time/max-ips of two
+    # runs is the standard defense, applied symmetrically
+    hybrid_ips = max(_run_child("hybrid"), _run_child("hybrid"))
+    standard_ips = max(_run_child("standard"), _run_child("standard"))
+    if hybrid_ips < 100 or standard_ips < 100:
+        sys.stderr.write(
+            f"[bench] implausible ({hybrid_ips:.0f}/{standard_ips:.0f} "
+            "img/s) — host contention? retrying once\n"
+        )
+        import time
+
+        time.sleep(30)
+        hybrid_ips = max(hybrid_ips, _run_child("hybrid"))
+        standard_ips = max(standard_ips, _run_child("standard"))
     print(
         json.dumps(
             {
