@@ -213,6 +213,78 @@ def test_posembed_unfold_parity(ref):
         )
 
 
+def test_isotypic_to_patch_parity(ref):
+    """IsotypicToPatchD8 (inverse lift) vs the reference
+    (octic_vits/d8_layers.py:499-588)."""
+    from octic_vits_tpu.layers.d8_layers import IsotypicToPatchD8
+    from octic_vits_tpu.utils.convert import _linear_d8
+
+    c, patch = 64, 4
+    torch.manual_seed(0)
+    t = ref.d8_layers.IsotypicToPatchD8(
+        c, patch_side=patch, out_channels=3, bias=True
+    ).eval()
+    xs = _rand5(2, 9, c, seed=20)
+    with torch.no_grad():
+        want = t(xs)
+    params = _jparams({"lin8": _linear_d8(_prefixed(t), "m.lin8", True)})
+    got = IsotypicToPatchD8(patch_side=patch, out_channels=3).apply(
+        {"params": params}, _to_j5(xs)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), want.detach().numpy(), atol=1e-5, rtol=1e-5,
+    )
+
+
+@pytest.mark.parametrize("kind", ["non_invariant", "linear", "polynomial", "third_order"])
+def test_paramfree_invariants_parity(ref, kind):
+    """The param-free research invariants vs the reference
+    (octic_vits/d8_invariantization.py:29-141)."""
+    from octic_vits_tpu.layers.invariants import INVARIANTS
+
+    c = 64
+    ref_cls = {
+        "non_invariant": ref.d8_inv.NonInvariant,
+        "linear": ref.d8_inv.LinearInvariant,
+        "polynomial": ref.d8_inv.PolynomialInvariant,
+        "third_order": ref.d8_inv.ThirdOrderInvariant,
+    }[kind]
+    t = ref_cls(c)
+    xs = _rand5(2, 7, c, seed=21)
+    with torch.no_grad():
+        want = t(xs)
+    mod = INVARIANTS[kind](dim=c)
+    got = mod.apply({}, _to_j5(xs))
+    assert mod.output_dim == want.shape[-1]
+    np.testing.assert_allclose(
+        np.asarray(got), want.numpy(), atol=1e-5, rtol=1e-4, err_msg=kind
+    )
+
+
+@pytest.mark.parametrize("kind", ["max_filtering", "canonization"])
+def test_learned_invariants_parity(ref, kind):
+    """MaxFiltering / Canonization invariants on COPIED reference
+    parameters (octic_vits/d8_invariantization.py:142-280)."""
+    from octic_vits_tpu.layers.invariants import INVARIANTS
+
+    c = 64
+    torch.manual_seed(3)
+    if kind == "max_filtering":
+        t = ref.d8_inv.MaxFilteringInvariant(c).eval()
+        params = {"references": t.references.detach().numpy()}
+    else:
+        t = ref.d8_inv.CanonizationInvariant(c).eval()
+        params = {"reference": t.reference.detach().numpy()}
+    xs = _rand5(2, 7, c, seed=22)
+    with torch.no_grad():
+        want = t(xs)
+    mod = INVARIANTS[kind](dim=c)
+    got = mod.apply({"params": _jparams(params)}, _to_j5(xs))
+    np.testing.assert_allclose(
+        np.asarray(got), want.numpy(), atol=1e-5, rtol=1e-4, err_msg=kind
+    )
+
+
 def test_power_spectrum_invariant_parity(ref):
     from octic_vits_tpu.layers.invariants import PowerSpectrumInvariant
 
