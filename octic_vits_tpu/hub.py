@@ -132,7 +132,6 @@ def load_linear_classifier(
         name, checkpoint=backbone_checkpoint, img_size=img_size, dtype=dtype,
         **model_kwargs,
     )
-    entry = HUB_ENTRIES[name]
     head = fnn.Dense(1000, dtype=dtype)
     head_params = None
     if head_checkpoint is not None:
