@@ -89,23 +89,27 @@ def main():
     if len(sys.argv) > 2 and sys.argv[1] == "--child":
         _child(sys.argv[2])
         return
-    # best-of-2 per model: cross-process variance on this host is a few
+    # best-of-3 per model: cross-process variance on this host is a few
     # percent (one outlier measured standard at 429 vs its steady 412),
     # and host contention can starve the timing entirely (a concurrent
-    # pytest run once produced 17.7 "img/s") — min-time/max-ips of two
-    # runs is the standard defense, applied symmetrically
-    hybrid_ips = max(_run_child("hybrid"), _run_child("hybrid"))
-    standard_ips = max(_run_child("standard"), _run_child("standard"))
-    if hybrid_ips < 100 or standard_ips < 100:
+    # pytest run once produced 17.7 "img/s") — min-time/max-ips is the
+    # standard defense, applied symmetrically; raw runs are published in
+    # the JSON so round-over-round ratio moves are attributable
+    hybrid_runs = [_run_child("hybrid") for _ in range(3)]
+    standard_runs = [_run_child("standard") for _ in range(3)]
+    if max(hybrid_runs) < 100 or max(standard_runs) < 100:
         sys.stderr.write(
-            f"[bench] implausible ({hybrid_ips:.0f}/{standard_ips:.0f} "
-            "img/s) — host contention? retrying once\n"
+            f"[bench] implausible ({max(hybrid_runs):.0f}/"
+            f"{max(standard_runs):.0f} img/s) — host contention? "
+            "retrying once\n"
         )
         import time
 
         time.sleep(30)
-        hybrid_ips = max(hybrid_ips, _run_child("hybrid"))
-        standard_ips = max(standard_ips, _run_child("standard"))
+        hybrid_runs.append(_run_child("hybrid"))
+        standard_runs.append(_run_child("standard"))
+    hybrid_ips = max(hybrid_runs)
+    standard_ips = max(standard_runs)
     print(
         json.dumps(
             {
@@ -113,6 +117,16 @@ def main():
                 "value": round(hybrid_ips, 2),
                 "unit": "images/sec",
                 "vs_baseline": round(hybrid_ips / standard_ips, 4),
+                "runs": {
+                    "hybrid_img_per_s": [round(r, 1) for r in hybrid_runs],
+                    "standard_img_per_s": [round(r, 1) for r in standard_runs],
+                    "hybrid_ms_per_batch": [
+                        round(1e3 * BATCH / r, 2) for r in hybrid_runs
+                    ],
+                    "standard_ms_per_batch": [
+                        round(1e3 * BATCH / r, 2) for r in standard_runs
+                    ],
+                },
             }
         )
     )

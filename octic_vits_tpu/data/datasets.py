@@ -254,7 +254,11 @@ class INatDataset:
         }
         self.samples: List[Tuple[str, int]] = []
         for img in data["images"]:
-            cat_id = ann_by_image[img["id"]]
+            # real iNat metadata can contain images without annotations —
+            # skip them instead of aborting dataset construction
+            cat_id = ann_by_image.get(img["id"])
+            if cat_id is None:
+                continue
             key = categories[cat_id][category]
             self.samples.append(
                 (os.path.join(root, img["file_name"]), targeter[key])

@@ -66,6 +66,7 @@ def default_collate(samples):
 # fork-inherited dataset for process workers: the child processes get the
 # dataset object through fork (no pickling of transforms/closures needed)
 _FORK_DATASET = None
+_FORK_LOCK = threading.Lock()
 
 
 def _proc_fetch(idx):
@@ -125,11 +126,15 @@ class DataLoader:
         import multiprocessing as mp
 
         global _FORK_DATASET
-        _FORK_DATASET = self.dataset
-        ctx = mp.get_context("fork")
-        pool = ctx.Pool(
-            self.num_workers, initializer=_proc_init, initargs=(self.seed,)
-        )
+        # set-global-then-fork must be atomic: two loaders creating their
+        # iterators concurrently could otherwise fork workers bound to the
+        # wrong dataset
+        with _FORK_LOCK:
+            _FORK_DATASET = self.dataset
+            ctx = mp.get_context("fork")
+            pool = ctx.Pool(
+                self.num_workers, initializer=_proc_init, initargs=(self.seed,)
+            )
 
         def pmap(_fn, idxs):
             # chunked map over the fork-shared dataset; _fn is ignored

@@ -143,6 +143,12 @@ def load_linear_classifier(
                           weights_only=True)
         sd = {k: v.numpy() for k, v in blob.items()}
         head_params = jax.tree.map(jnp.asarray, convert_linear_head(sd))
+    else:
+        # random-init fallback so the returned pair is always callable
+        feat_dim = (layers + 1) * model.embed_dim
+        head_params = head.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, feat_dim), dtype)
+        )["params"]
 
     def classify_fn(variables, images):
         outs = model.apply(

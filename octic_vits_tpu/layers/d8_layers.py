@@ -214,22 +214,24 @@ def layer_norm_d8_stats_flat(x, eps: float = 1e-5):
     seg = jnp.kron(jnp.eye(8, dtype=jnp.float32),
                    jnp.ones((c8, 1), jnp.float32))      # [C, 8]
     m8 = (x32 @ seg) / c8                               # [..., 8]
-    s8 = ((x32 * x32) @ seg) / c8
-    var1d = s8[..., :4] - m8[..., :4] ** 2
     me0 = 0.5 * (m8[..., 4] + m8[..., 5])   # E row 0 spans slots 4,5
     me1 = 0.5 * (m8[..., 6] + m8[..., 7])
-    se0 = 0.5 * (s8[..., 4] + s8[..., 5])
-    se1 = 0.5 * (s8[..., 6] + s8[..., 7])
-    var_e = 0.5 * ((se0 - me0 * me0) + (se1 - me1 * me1))
-    var = jnp.sum(var1d, axis=-1) + var_e + eps
-    inv_std = 1.0 / (SQRT2_OVER_4 * jnp.sqrt(var))      # [...]
     mean8 = jnp.stack(
         (m8[..., 0], m8[..., 1], m8[..., 2], m8[..., 3], me0, me0, me1, me1),
         axis=-1,
     )
     mean_full = mean8 @ seg.T                           # [..., C]
-    out = (x32 - mean_full) * inv_std[..., None]
-    return out.astype(x.dtype)
+    xc = x32 - mean_full
+    # two-pass variance (center first, then reduce squares through the same
+    # segment matmul): no E[x^2]-E[x]^2 cancellation for large-mean
+    # activations, matching the tuple path's jnp.var numerics
+    v8 = ((xc * xc) @ seg) / c8
+    # E row variance = mean of its two slots' centered moments; var_e is the
+    # mean over the two rows -> 1/4 of the four E-slot moments
+    var = (jnp.sum(v8[..., :4], axis=-1)
+           + 0.25 * jnp.sum(v8[..., 4:], axis=-1) + eps)
+    inv_std = 1.0 / (SQRT2_OVER_4 * jnp.sqrt(var))      # [...]
+    return (xc * inv_std[..., None]).astype(x.dtype)
 
 
 class LayerNormD8(nn.Module):

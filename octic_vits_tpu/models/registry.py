@@ -126,6 +126,9 @@ _DEIT_DIMS = {
 
 def _deit_ls(size: str, patch: int, img_size=224, **kwargs):
     d, depth, heads = _DEIT_DIMS[size]
+    # every named reference DeiT factory passes partial(nn.LayerNorm, eps=1e-6)
+    # (reference: deit/vit.py:410-683); the bare-class default stays 1e-5
+    kwargs.setdefault("norm_eps", 1e-6)
     return VisionTransformer(
         img_size=img_size, patch_size=patch, embed_dim=d, depth=depth,
         num_heads=heads, mlp_ratio=4.0, qkv_bias=True, **kwargs,

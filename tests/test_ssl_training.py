@@ -93,6 +93,48 @@ def test_ssl_train_step(centering):
         assert float(jnp.abs(state.dino_center).max()) > 0
 
 
+def test_ssl_train_step_ibot_separate_head():
+    """Separate-iBOT-head layout end-to-end (reference trains both layouts,
+    dinov2/train/ssl_meta_arch.py:84-112): one jitted step, finite losses,
+    and the ibot head receives its own (distinct) gradients."""
+    cfg = tiny_cfg(ibot_separate_head=True)
+    arch = SSLMetaArch(cfg)
+    state = arch.init(jax.random.PRNGKey(0))
+    assert "ibot_head" in state.student
+    batch = {k: jnp.asarray(v) for k, v in make_batch(cfg).items()}
+    sched = {
+        "lr": 1e-3, "wd": 0.04, "last_layer_lr": 1e-3,
+        "momentum": 0.992, "teacher_temp": 0.04,
+    }
+    step = jax.jit(arch.make_train_step())
+    new_state, metrics = step(state, batch, sched, jax.random.PRNGKey(1))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    assert float(metrics["ibot_loss"]) != 0.0
+    # the separate ibot head trained: every leaf moved…
+    ib_old = jax.tree.leaves(state.student["ibot_head"])
+    ib_new = jax.tree.leaves(new_state.student["ibot_head"])
+    assert any(
+        float(jnp.abs(a - b).max()) > 0 for a, b in zip(ib_old, ib_new)
+    )
+    # …and its update is distinct from the dino head's (same init via
+    # head(out_dim) but different loss paths)
+    dh_delta = jax.tree.map(
+        lambda a, b: b - a, state.student["dino_head"],
+        new_state.student["dino_head"],
+    )
+    ib_delta = jax.tree.map(
+        lambda a, b: b - a, state.student["ibot_head"],
+        new_state.student["ibot_head"],
+    )
+    diffs = [
+        float(jnp.abs(d - i).max())
+        for d, i in zip(jax.tree.leaves(dh_delta), jax.tree.leaves(ib_delta))
+        if d.shape == i.shape
+    ]
+    assert max(diffs) > 0
+
+
 def test_teacher_ema_moves_toward_student():
     cfg = tiny_cfg()
     arch = SSLMetaArch(cfg)
