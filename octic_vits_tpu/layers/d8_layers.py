@@ -164,12 +164,15 @@ class ScaleD8(nn.Module):
         if self.use_bias:
             beta = self.param("beta_a1", nn.initializers.zeros, (c8,), self.param_dtype)
             oa1 = oa1 + beta.astype(dtype)
+        ae = alpha_e.astype(dtype)
+        if e.ndim == a1.ndim:  # flat-E container: rows share alpha_e
+            ae = jnp.concatenate((ae, ae))
         return (
             oa1,
             alpha[1] * a2,
             alpha[2] * b1,
             alpha[3] * b2,
-            alpha_e.astype(dtype) * e,
+            ae * e,
         )
 
 
@@ -181,16 +184,40 @@ def layer_norm_d8_stats(xs: Tuple5, eps: float = 1e-5) -> Tuple5:
                                + mean_rows(var_E) + eps)
 
     exactly the reference formula (octic_vits/d8_layers.py:161-186), eps
-    inside the sqrt, biased variances."""
+    inside the sqrt, biased variances. `e` may be the flat-E container
+    ([..., 4*C/8] = [row0|row1]); each row keeps its own mean/variance."""
     a1, a2, b1, b2, e = xs
+    flat_e = e.ndim == a1.ndim
     f32 = jnp.float32
     var = sum(jnp.var(x.astype(f32), axis=-1, keepdims=True) for x in (a1, a2, b1, b2))
-    var_e = jnp.var(e.astype(f32), axis=-1, keepdims=True)  # [..., 2, 1]
-    var = var + jnp.mean(var_e, axis=-2) + eps
-    std = (SQRT2_OVER_4 * jnp.sqrt(var)).astype(a1.dtype)
 
     def center(x):
         return x - jnp.mean(x, axis=-1, keepdims=True)
+
+    if flat_e:
+        half = e.shape[-1] // 2
+        e32 = e.astype(f32)
+        m0 = jnp.mean(e32[..., :half], axis=-1, keepdims=True)
+        m1 = jnp.mean(e32[..., half:], axis=-1, keepdims=True)
+        v0 = jnp.var(e32[..., :half], axis=-1, keepdims=True)
+        v1 = jnp.var(e32[..., half:], axis=-1, keepdims=True)
+        var = var + 0.5 * (v0 + v1) + eps
+        std = (SQRT2_OVER_4 * jnp.sqrt(var)).astype(a1.dtype)
+        # per-row mean subtraction without a misaligned half-boundary
+        # concat: one lane-indexed select between the two row means
+        lane = jax.lax.broadcasted_iota(jnp.int32, (e.shape[-1],), 0)
+        mean_e = jnp.where(lane < half, m0, m1).astype(a1.dtype)
+        return (
+            center(a1) / std,
+            center(a2) / std,
+            center(b1) / std,
+            center(b2) / std,
+            (e - mean_e) / std,
+        )
+
+    var_e = jnp.var(e.astype(f32), axis=-1, keepdims=True)  # [..., 2, 1]
+    var = var + jnp.mean(var_e, axis=-2) + eps
+    std = (SQRT2_OVER_4 * jnp.sqrt(var)).astype(a1.dtype)
 
     return (
         center(a1) / std,
@@ -278,12 +305,13 @@ def drop_path_d8(xs: Tuple5, rate: float, rng, scale_by_keep: bool = True) -> Tu
     mask = jax.random.bernoulli(rng, keep, shape).astype(xs[0].dtype)
     if keep > 0.0 and scale_by_keep:
         mask = mask / keep
+    mask_e = mask if xs[4].ndim == xs[0].ndim else mask[..., None]
     return (
         xs[0] * mask,
         xs[1] * mask,
         xs[2] * mask,
         xs[3] * mask,
-        xs[4] * mask[..., None],
+        xs[4] * mask_e,
     )
 
 
@@ -664,9 +692,15 @@ class AttentionD8(nn.Module):
             else:
                 e0 = qkvs[4][:, :, 0]
                 e1 = qkvs[4][:, :, 1]
-            o1, o2, o3, o4, oe0, oe1 = octic_attention(
-                qkvs[0], qkvs[1], qkvs[2], qkvs[3], e0, e1, h
+            # tag the kernel INPUTS as remat-saved too: they are the
+            # custom_vjp residuals, so saving them makes the fwd kernel
+            # call dead in the bwd replay (otherwise remat re-runs the
+            # octic attention kernel, ~0.65 ms/block, just for residuals)
+            ins = tuple(
+                _checkpoint_name(t, "attn_in")
+                for t in (qkvs[0], qkvs[1], qkvs[2], qkvs[3], e0, e1)
             )
+            o1, o2, o3, o4, oe0, oe1 = octic_attention(*ins, h)
             # saved under the selective remat policy (scan_blocks.py)
             o1, o2, o3, o4, oe0, oe1 = (
                 _checkpoint_name(t, "attn_out")

@@ -128,8 +128,13 @@ class Attention(nn.Module):
             from octic_vits_tpu.ops.pallas_attention import standard_attention
 
             qkv_flat = dense(3 * c, self.qkv_bias, "qkv")(x)
-            out = standard_attention(qkv_flat, h)
             # saved under the selective remat policy (scan_blocks.py):
+            # with qkv saved, the custom_vjp residuals come for free in the
+            # bwd replay and the fwd kernel call is dead code — the remat
+            # would otherwise RE-RUN the attention kernel (~0.35 ms/block)
+            # just to rebuild its residuals
+            qkv_flat = _checkpoint_name(qkv_flat, "attn_in")
+            out = standard_attention(qkv_flat, h)
             # recomputing the kernel in bwd costs more than the 21 MB save
             out = _checkpoint_name(out, "attn_out")
             out = dense(c, self.proj_bias, "proj")(out)

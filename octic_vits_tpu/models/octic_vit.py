@@ -57,12 +57,21 @@ class OcticVisionTransformer(nn.Module):
     cls_init: str = "deit"  # "deit": trunc_normal(0.16); "dinov2": normal(1e-6)
     scan_blocks: bool = False  # lax.scan trunk: ~depth-times faster compiles
     remat: bool = False        # per-block rematerialization (training memory)
+    # carry E through the octic trunk as ONE flat [B, N, C/2] array
+    # ([row0|row1]) instead of [B, N, 2, C/4]: every E elementwise op,
+    # slice, and scan-carry then runs on plain lane-aligned 2-D tiles —
+    # no [.., 2, C/4] tiled-layout relayouts anywhere in the trunk. All
+    # layers detect the container (math identical); params unchanged.
+    flat_e_carry: bool = False
+    scan_unroll: int = 1            # lax.scan unroll for both trunks
+    scan_split_transpose: bool = False  # scan bwd as a separate scan
     use_pallas_gelu: bool = False
     use_pallas_linear: bool = False
     use_pallas_attention: bool = False
     use_pallas_std_mlp: bool = False
     use_wide_qkv: bool = False  # wide-1d octic attention qkv (AttentionD8)
     fuse_mlp_branch: bool = False
+    fuse_block_epilogues: bool = False  # ls+residual into proj/fc2 kernels
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
@@ -137,6 +146,7 @@ class OcticVisionTransformer(nn.Module):
             use_pallas_attention=self.use_pallas_attention,
             use_wide_qkv=self.use_wide_qkv,
             fuse_mlp_branch=self.fuse_mlp_branch,
+            fuse_block_epilogues=self.fuse_block_epilogues,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )
@@ -161,11 +171,14 @@ class OcticVisionTransformer(nn.Module):
 
             self.octic_stack = make_scanned_stack(
                 "octic", octic_cfg, self.break_layer, "octic_blocks",
-                remat=self.remat,
+                remat=self.remat, unroll=self.scan_unroll,
+                split_transpose=self.scan_split_transpose,
             )
             self.standard_stack = make_scanned_stack(
                 "standard", std_cfg, self.depth - self.break_layer,
                 "standard_blocks", remat=self.remat,
+                unroll=self.scan_unroll,
+                split_transpose=self.scan_split_transpose,
             )
             self.blocks = []
         else:
@@ -224,6 +237,14 @@ class OcticVisionTransformer(nn.Module):
     def _break_to_flat(self, xs) -> Array:
         """Equivariance break: invariantize+project or concat to [B,N,C]
         in isotypic slot order (reference: octic_vits/model.py:196-200)."""
+        if xs[4].ndim == xs[0].ndim:  # flat-E carry
+            from octic_vits_tpu.d8.group import unpack_5f_to_8
+
+            parts = unpack_5f_to_8(xs)
+            if self.invariant:
+                xs = pack_8_to_5(parts)
+                return self.invariant_proj(self.invariantization(xs))
+            return jnp.concatenate(parts, axis=-1)
         if self.invariant:
             return self.invariant_proj(self.invariantization(xs))
         return jnp.concatenate(unpack_5_to_8(xs), axis=-1)
@@ -236,6 +257,11 @@ class OcticVisionTransformer(nn.Module):
         xs = self.patch_embed(x)
         xs = self._add_pos(xs, grid_hw)
         xs = self._cat_cls_and_registers(xs, b)
+        if self.flat_e_carry:
+            # [B, N, 2, C/4] -> [B, N, C/2] = [row0|row1]: one relayout at
+            # trunk entry buys lane-aligned E ops in every block
+            e = xs[4]
+            xs = xs[:4] + (e.reshape(e.shape[0], e.shape[1], -1),)
 
         if self.scan_blocks:
             # NOTE: a flat packed single-array carry (BlockD8 packed path)

@@ -39,16 +39,20 @@ class _ScanBlock(nn.Module):
 
 
 def make_scanned_stack(kind: str, cfg: dict, length: int, name: str,
-                       remat: bool = False):
+                       remat: bool = False, unroll: int = 1,
+                       split_transpose: bool = False):
     """kind: 'octic' | 'standard'. Returns a module instance: call with
     (carry, deterministic) -> (carry, None).
 
-    `remat` uses a SELECTIVE policy: attention outputs (tagged
-    `attn_out` via jax.ad_checkpoint.checkpoint_name in the attention
-    modules) are saved — recomputing the attention kernel in the backward
-    pass costs ~0.35 (standard) / ~0.65 (octic) ms/block on v5e while the
-    saved activation is only ~21 MB/block at B=32 — everything else
-    (qkv/mlp intermediates) is rematerialized."""
+    `remat` uses a SELECTIVE policy: attention outputs AND the qkv
+    projections feeding the attention kernels (tagged `attn_out` /
+    `attn_in` via jax.ad_checkpoint.checkpoint_name in the attention
+    modules) are saved. attn_out (21 MB/block at B=32) spares the kernel
+    recompute on the output side; attn_in (63 MB/block) is the custom_vjp
+    RESIDUAL set, so saving it makes the forward kernel call dead code in
+    the bwd replay — without it remat re-runs the attention kernel
+    (~0.35 std / ~0.65 octic ms/block) just to rebuild residuals.
+    Everything else (mlp intermediates, norms) is rematerialized."""
     target = _ScanBlockD8 if kind == "octic" else _ScanBlock
     if remat:
         import jax
@@ -57,7 +61,9 @@ def make_scanned_stack(kind: str, cfg: dict, length: int, name: str,
             target,
             static_argnums=(2,),  # deterministic flag stays static
             prevent_cse=False,
-            policy=jax.checkpoint_policies.save_only_these_names("attn_out"),
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "attn_out", "attn_in"
+            ),
         )
     scanned = nn.scan(
         target,
@@ -65,5 +71,9 @@ def make_scanned_stack(kind: str, cfg: dict, length: int, name: str,
         split_rngs={"params": True, "dropout": True},
         length=length,
         in_axes=(nn.broadcast,),
+        # `unroll`/`_split_transpose` knobs target the scan-bwd
+        # stacked-grad dynamic-update-slice cost (BENCH.md bwd table)
+        unroll=unroll,
+        _split_transpose=split_transpose,
     )
     return scanned(cfg=cfg, name=name)

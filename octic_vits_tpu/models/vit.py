@@ -42,6 +42,8 @@ class VisionTransformer(nn.Module):
     global_pool: bool = False
     scan_blocks: bool = False
     remat: bool = False
+    scan_unroll: int = 1
+    scan_split_transpose: bool = False
     use_pallas_attention: bool = False
     use_pallas_mlp: bool = False
     dtype: Any = None
@@ -79,7 +81,9 @@ class VisionTransformer(nn.Module):
             from octic_vits_tpu.models.scan_blocks import make_scanned_stack
 
             self.block_stack = make_scanned_stack(
-                "standard", block_cfg, self.depth, "blocks", remat=self.remat
+                "standard", block_cfg, self.depth, "blocks", remat=self.remat,
+                unroll=self.scan_unroll,
+                split_transpose=self.scan_split_transpose,
             )
             self.blocks = []
         else:

@@ -150,10 +150,12 @@ def _flatten(xs: Tuple5):
     return flat, lead, m, c
 
 
-def _unflatten(flat, lead, c):
-    return tuple(x.reshape(*lead, c) for x in flat[:4]) + (
-        flat[4].reshape(*lead, 2, 2 * c),
+def _unflatten(flat, lead, c, flat_e=False):
+    e = (
+        flat[4].reshape(*lead, 4 * c) if flat_e
+        else flat[4].reshape(*lead, 2, 2 * c)
     )
+    return tuple(x.reshape(*lead, c) for x in flat[:4]) + (e,)
 
 
 def _row_tile(m: int, c: int, itemsize: int) -> int:
@@ -205,7 +207,8 @@ def _fwd_impl(xs, interpret):
         interpret = _auto_interpret()
     flat, lead, m, c = _flatten(xs)
     out = _call_kernel(_fwd_kernel, 5, flat, m, c, interpret)
-    return _unflatten(out, lead, c)
+    flat_e = xs[4].ndim == xs[0].ndim  # flat-E container in == out
+    return _unflatten(out, lead, c, flat_e)
 
 
 def _bwd_rule(interpret, xs, g):
@@ -214,7 +217,7 @@ def _bwd_rule(interpret, xs, g):
     flat_x, lead, m, c = _flatten(xs)
     flat_g, _, _, _ = _flatten(g)
     out = _call_kernel(_bwd_kernel, 10, flat_x + flat_g, m, c, interpret)
-    return (_unflatten(out, lead, c),)
+    return (_unflatten(out, lead, c, xs[4].ndim == xs[0].ndim),)
 
 
 # custom_vjp wiring: fwd gets the original arg order (minus nondiff args,

@@ -76,17 +76,22 @@ def _kernel(x1, xef, w1, we, bias, *rest, fuse_gelu: bool, use_bias: bool,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    e11, e12 = row0[:, :f], row0[:, f:]
-    e21, e22 = row1[:, :f], row1[:, f:]
 
     if fuse_gelu:
+        e11, e12 = row0[:, :f], row0[:, f:]
+        e21, e22 = row1[:, :f], row1[:, f:]
         a1, a2, b1, b2 = outs1
         a1, a2, b1, b2, e11, e12, e21, e22 = _apply_gelu_tiles(
             a1, a2, b1, b2, e11, e12, e21, e22, cheap=dtype == jnp.bfloat16
         )
         outs1 = [a1, a2, b1, b2]
-
-    cat_e = jnp.concatenate((e11, e12, e21, e22), axis=-1)
+        cat_e = jnp.concatenate((e11, e12, e21, e22), axis=-1)
+    else:
+        # flat-E layout [e11|e12|e21|e22] IS [row0|row1]: concatenate the
+        # row results directly (2f boundary, lane-aligned) instead of
+        # slicing them into four f-wide pieces and re-concatenating
+        # (f=480 at ViT-H: two misaligned vreg-shuffle boundaries)
+        cat_e = jnp.concatenate((row0, row1), axis=-1)
     if use_epilogue:
         # y = residual + layerscale * linear_out, fused before the store
         for g in range(4):

@@ -256,6 +256,7 @@ def mlp_branch_d8(xs, params, eps: float = 1e-5,
         interpret = jax.default_backend() == "cpu"
     lead = xs[0].shape[:-1]
     c8 = xs[0].shape[-1]
+    flat_e = xs[4].ndim == xs[0].ndim  # flat-E container in == out
     m = 1
     for d in lead:
         m *= d
@@ -263,9 +264,11 @@ def mlp_branch_d8(xs, params, eps: float = 1e-5,
         xs[4].reshape(m, 4 * c8),
     )
     outs = _fwd_pallas(flat, params, eps, interpret)
-    return tuple(o.reshape(*lead, c8) for o in outs[:4]) + (
-        outs[4].reshape(*lead, 2, 2 * c8),
+    e_out = (
+        outs[4].reshape(*lead, 4 * c8) if flat_e
+        else outs[4].reshape(*lead, 2, 2 * c8)
     )
+    return tuple(o.reshape(*lead, c8) for o in outs[:4]) + (e_out,)
 
 
 def _fwd_rule(xs, params, eps, interpret):

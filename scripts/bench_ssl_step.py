@@ -6,6 +6,12 @@ layerwise decay, teacher EMA) at paper-shaped crops, hybrid vs standard
 backbone — the SSL analog of scripts/check_train_step_tpu.py.
 
 Usage: python scripts/bench_ssl_step.py [hybrid|standard|all] [batch=16]
+                                         [--size large|huge] [--trace]
+
+--size huge benches ViT-H/16 (the paper's headline DINOv2 config,
+reference: dinov2 configs + configs/train/hybrid_vith16.yaml here).
+--trace dumps a per-op device-time aggregation of the step (teacher scan /
+student scan / head+loss groups), trace_model.py methodology.
 """
 
 import os
@@ -28,14 +34,22 @@ from octic_vits_tpu.train.dinov2.masking import (
 from octic_vits_tpu.train.dinov2.ssl_meta_arch import SSLConfig, SSLMetaArch
 
 ARCHS = {
-    "hybrid": "hybrid_dinov2_vit_large_patch16",
-    "standard": "dinov2_vit_large_patch16",
+    "large": {
+        "hybrid": "hybrid_dinov2_vit_large_patch16",
+        "standard": "dinov2_vit_large_patch16",
+    },
+    "huge": {
+        "hybrid": "hybrid_dinov2_vit_huge_patch16",
+        "standard": "dinov2_vit_huge_patch16",
+    },
 }
 
 
-def run(which: str, b: int, iters: int = 8) -> float:
+def run(which: str, b: int, iters: int = 8, size: str = "large",
+        trace: bool = False) -> float:
     cfg = SSLConfig(
-        arch=ARCHS[which], img_size=224, local_crop_size=96, patch_size=16,
+        arch=ARCHS[size][which], img_size=224, local_crop_size=96,
+        patch_size=16,
         drop_path_rate=0.0, n_local_crops=8, compute_dtype=jnp.bfloat16,
     )
     arch = SSLMetaArch(cfg)
@@ -65,18 +79,95 @@ def run(which: str, b: int, iters: int = 8) -> float:
         state, metrics = step(state, batch, sched, jax.random.PRNGKey(i))
     jax.block_until_ready(metrics)
     dt = (time.time() - t0) / iters
-    print(f"{which}: SSL step {dt*1e3:.1f} ms -> {b/dt:.1f} img/s "
+    print(f"{which} {size}: SSL step {dt*1e3:.1f} ms -> {b/dt:.1f} img/s "
           f"(B={b}, 2x224 + 8x96 crops)", flush=True)
+    if trace:
+        _trace_step(which, size, step, state, batch, sched)
     return dt
 
 
+def _trace_step(which, size, step, state, batch, sched):
+    """Per-op device-time aggregation (trace_model.py methodology): leaf
+    device ops attributed to their innermost enclosing while-loop (= a
+    scanned trunk: teacher / student, octic / standard halves); everything
+    outside the scans is patch-embed / head / loss / optimizer work."""
+    import glob
+    import gzip
+    import json
+    from collections import defaultdict
+
+    log_dir = f"/tmp/trace_ssl_{which}_{size}"
+    with jax.profiler.trace(log_dir):
+        _, metrics = step(state, batch, sched, jax.random.PRNGKey(7))
+        jax.block_until_ready(metrics)
+    paths = glob.glob(os.path.join(log_dir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    if not paths:
+        print("no trace found", flush=True)
+        return
+    path = max(paths, key=os.path.getmtime)
+    with gzip.open(path, "rt") as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    pid_names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e["pid"]] = e.get("args", {}).get("name", "")
+    by_thread = defaultdict(list)
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        pname = pid_names.get(e.get("pid"), "")
+        if "TPU" not in pname and "/device" not in pname.lower():
+            continue
+        by_thread[(e["pid"], e.get("tid"))].append(
+            (e["ts"], e.get("dur", 0.0), e.get("name", "?"))
+        )
+    totals = defaultdict(float)
+    counts = defaultdict(int)
+    scope_totals = defaultdict(float)
+    for _, evs in by_thread.items():
+        evs.sort(key=lambda x: (x[0], -x[1]))
+        stack = []
+        n = len(evs)
+        for i, (ts, dur, name) in enumerate(evs):
+            while stack and stack[-1][0] <= ts:
+                stack.pop()
+            scope = next(
+                (sc for _, sc in reversed(stack) if sc.startswith("while")),
+                "-",
+            )
+            nxt = evs[i + 1][0] if i + 1 < n else float("inf")
+            is_leaf = nxt >= ts + dur or evs[i + 1][1] == 0
+            if is_leaf and dur > 0:
+                totals[(scope, name)] += dur
+                counts[(scope, name)] += 1
+                scope_totals[scope] += dur
+            else:
+                stack.append((ts + dur, name))
+    tot = sum(totals.values())
+    print(f"--- {which} {size} trace: {path}", flush=True)
+    print(f"total leaf device time {tot/1e3:.1f} ms; by scope:", flush=True)
+    for sc, d in sorted(scope_totals.items(), key=lambda kv: -kv[1]):
+        print(f"  {d/1e3:9.2f} ms  [{sc}]", flush=True)
+    print("top ops:", flush=True)
+    for (sc, name), dur in sorted(totals.items(), key=lambda kv: -kv[1])[:45]:
+        print(f"  {dur/1e3:9.3f} ms  x{counts[(sc, name)]:<5d} [{sc:8s}] "
+              f"{name}", flush=True)
+
+
 if __name__ == "__main__":
-    which = sys.argv[1] if len(sys.argv) > 1 else "all"
-    b = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    which = args[0] if args else "all"
+    b = int(args[1]) if len(args) > 1 else 16
+    size = "large"
+    if "--size" in sys.argv:
+        size = sys.argv[sys.argv.index("--size") + 1]
+    trace = "--trace" in sys.argv
     if which in ("all", "hybrid"):
-        h = run("hybrid", b)
+        h = run("hybrid", b, size=size, trace=trace)
     if which in ("all", "standard"):
-        s = run("standard", b)
+        s = run("standard", b, size=size, trace=trace)
         if which == "all":
             print(f"SSL step speedup hybrid vs standard: {s/h:.3f}",
                   flush=True)

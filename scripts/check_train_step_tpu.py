@@ -65,6 +65,10 @@ common = dict(
     mlp_ratio=4.0, qkv_bias=True, num_classes=1000, dtype=jnp.bfloat16,
     scan_blocks=True, remat=True,
 )
+if "--unroll" in sys.argv:
+    common["scan_unroll"] = int(sys.argv[sys.argv.index("--unroll") + 1])
+if "--split-transpose" in sys.argv:
+    common["scan_split_transpose"] = True
 which = sys.argv[1] if len(sys.argv) > 1 else "all"
 if len(sys.argv) > 2:
     B = int(sys.argv[2])
@@ -74,6 +78,7 @@ if which in ("all", "hybrid"):
     h = run("hybrid(kernels)", OcticVisionTransformer(
         use_pallas_attention=True, use_pallas_linear=True,
         use_pallas_std_mlp=True, use_wide_qkv="--wide" in sys.argv,
+        flat_e_carry="--no-flat" not in sys.argv,
         **common))
 if which in ("all", "std"):
     s = run("standard(kernels)", VisionTransformer(

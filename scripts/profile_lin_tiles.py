@@ -87,14 +87,14 @@ def main():
     we = (jax.random.normal(ks[3], (2 * C8, 2 * F)) * 0.05).astype(DT)
     params = (x1, xef, w1, we)
 
-    for tm in (128, 200, 256, 512, 1024, 2056):
+    for tm in (128, 192, 256, 384, 512, 1024):
         def run_t(p, x, tm=tm):
             x1_, xef_, w1_, we_ = (q + x.astype(q.dtype) for q in p)
             y1, yef = call_tuple(x1_, xef_, w1_, we_, tm)
             return jnp.maximum(jnp.max(y1), jnp.max(yef))
         bench(f"tuple store  tm={tm}", run_t, params)
 
-    for tm in (128, 200, 256, 512, 1024, 2056):
+    for tm in (128, 192, 256, 384, 512, 1024):
         def run_w(p, x, tm=tm):
             x1_, xef_, w1_, we_ = (q + x.astype(q.dtype) for q in p)
             return jnp.max(call_wide(x1_, xef_, w1_, we_, tm))

@@ -63,9 +63,11 @@ def _attn_head_split(q, k, v, scale, out_dtype):
     s_main = jax.lax.dot_general(
         q, km, (((1,), (1,)), ((), ())), preferred_element_type=f32
     ) * scale                                             # [N, 256]
-    s_last = jax.lax.dot_general(
-        q, kl, (((1,), (1,)), ((), ())), preferred_element_type=f32
-    ) * scale                                             # [N, N-NKM]
+    # rank-1 tail on the VPU (a [N,1]-lane matmul trips a Mosaic
+    # verification bug and would waste a full MXU pass anyway)
+    s_last = jnp.sum(
+        q.astype(f32) * kl.astype(f32), axis=1, keepdims=True
+    ) * scale                                             # [N, 1]
     m = jnp.maximum(
         jnp.max(s_main, axis=1, keepdims=True),
         jnp.max(s_last, axis=1, keepdims=True),
@@ -149,6 +151,65 @@ def _std_split_kernel(qkv, o):
         v = qkv[0][:, (2 * H + h) * DH:(2 * H + h + 1) * DH]
         out = _attn_head_split(q, k, v, SCALE, dtype)
         o[0, :, h * DH:(h + 1) * DH] = out.astype(dtype)
+
+
+def _std_multib_kernel(qkv, o, *, nb):
+    """`nb` images per grid step: more independent matmuls per scheduling
+    window (amortizes grid-step overhead and MXU pipeline fill)."""
+    dtype = qkv.dtype
+    for b in range(nb):
+        for h in range(H):
+            q = qkv[b][:, (0 * H + h) * DH:(0 * H + h + 1) * DH]
+            k = qkv[b][:, (1 * H + h) * DH:(1 * H + h + 1) * DH]
+            v = qkv[b][:, (2 * H + h) * DH:(2 * H + h + 1) * DH]
+            out = _attn_head(q, k, v, SCALE, dtype)
+            o[b, :, h * DH:(h + 1) * DH] = out.astype(dtype)
+
+
+def _octic_multib_kernel(a1, a2, b1, b2, e0, e1, o1, o2, o3, o4, oe0, oe1,
+                         *, nb):
+    dtype = a1.dtype
+    for b in range(nb):
+        refs = tuple((x[b],) for x in (a1, a2, b1, b2, e0, e1))
+        # _octic_slices indexes arr[0]; shim with per-b views
+        for h in range(H):
+            q = jnp.concatenate(_octic_slices(refs, h, H, D1, DE, 0), axis=1)
+            k = jnp.concatenate(_octic_slices(refs, h, H, D1, DE, 1), axis=1)
+            v = jnp.concatenate(_octic_slices(refs, h, H, D1, DE, 2), axis=1)
+            out = _attn_head(q, k, v, SCALE, dtype)
+            outs = (o1, o2, o3, o4)
+            for g in range(4):
+                outs[g][b, :, h * D1:(h + 1) * D1] = (
+                    out[:, g * D1:(g + 1) * D1].astype(dtype)
+                )
+            for r, oref in ((0, oe0), (1, oe1)):
+                off = 4 * D1 + r * DE
+                oref[b, :, h * DE:(h + 1) * DE] = (
+                    out[:, off:off + DE].astype(dtype)
+                )
+
+
+def _call_octic_multib(kernel, args, nb):
+    in_specs = [
+        pl.BlockSpec((nb,) + a.shape[1:], lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for a in args
+    ]
+    shapes = (
+        *(jax.ShapeDtypeStruct((B, N, C8), DT) for _ in range(4)),
+        jax.ShapeDtypeStruct((B, N, 2 * C8), DT),
+        jax.ShapeDtypeStruct((B, N, 2 * C8), DT),
+    )
+    out_specs = tuple(
+        pl.BlockSpec((nb,) + s.shape[1:], lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for s in shapes
+    )
+    return pl.pallas_call(
+        functools.partial(kernel, nb=nb),
+        grid=(B // nb,), in_specs=in_specs, out_specs=out_specs,
+        out_shape=shapes, interpret=jax.default_backend() == "cpu",
+    )(*args)
 
 
 def _call_octic(kernel, args, scratch=False):
@@ -236,7 +297,32 @@ def main():
         assert err < 2e-2, err
     print("numerics: split matches current (bf16 tol)", flush=True)
 
+    def run_std_multib(nb):
+        def run(params, x):
+            (q,) = _perturbed(params, x)
+            out = pl.pallas_call(
+                functools.partial(_std_multib_kernel, nb=nb),
+                grid=(B // nb,),
+                in_specs=[pl.BlockSpec((nb, N, 3 * C), lambda i: (i, 0, 0),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec((nb, N, C), lambda i: (i, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((B, N, C), DT),
+                interpret=jax.default_backend() == "cpu",
+            )(q)
+            return jnp.max(out)
+        return run
+
+    def run_octic_multib(nb):
+        def run(params, x):
+            outs = _call_octic_multib(
+                _octic_multib_kernel, _perturbed(params, x), nb)
+            return jnp.stack([jnp.max(o) for o in outs])
+        return run
+
     bench("std current", run_std, (qkv,))
+    bench("std nb=2", run_std_multib(2), (qkv,))
+    bench("octic nb=2", run_octic_multib(2), params6)
     bench("std cls-split", run_std_split, (qkv,))
     bench("octic current", run_current, params6)
     bench("octic cls-split", run_variant(_octic_split_kernel, False), params6)
