@@ -52,6 +52,18 @@ def _load() -> Optional[ctypes.CDLL]:
         f32p, f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ]
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    if hasattr(lib, "resize_crop_u8"):
+        lib.resize_crop_u8.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            u8p, ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.color_jitter_u8.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int,
+        ]
     _lib = lib
     return _lib
 
@@ -108,3 +120,53 @@ def rot90_flip_batch(
         n, h, w, c, int(k), int(bool(flip)), nthreads,
     )
     return out
+
+
+def has_resize() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "resize_crop_u8")
+
+
+def resize_crop(
+    img_u8: np.ndarray, box, out_hw
+) -> Optional[np.ndarray]:
+    """Crop `box` = (y0, x0, y1, x1) floats of an [H,W,3] uint8 image and
+    resize to `out_hw` with the PIL-equivalent adaptive-support bicubic
+    filter (antialiased downscale). Returns None when the native library
+    is unavailable (caller falls back to PIL)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "resize_crop_u8"):
+        return None
+    assert img_u8.dtype == np.uint8 and img_u8.ndim == 3
+    img_u8 = np.ascontiguousarray(img_u8)
+    ih, iw, _ = img_u8.shape
+    oh, ow = out_hw
+    out = np.empty((oh, ow, 3), np.uint8)
+    y0, x0, y1, x1 = (float(v) for v in box)
+    lib.resize_crop_u8(
+        img_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), ih, iw,
+        y0, x0, y1, x1,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), oh, ow,
+    )
+    return out
+
+
+def color_jitter_inplace(img_u8: np.ndarray, ops, factors) -> bool:
+    """Sequential ColorJitter ops on an [H,W,3] uint8 image, in place.
+    ops: list of codes (0 brightness, 1 contrast, 2 saturation, 3 hue);
+    factors: matching floats (enhance factor, or hue shift in [-.5, .5]).
+    Returns False when the native library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "color_jitter_u8"):
+        return False
+    assert img_u8.dtype == np.uint8 and img_u8.ndim == 3
+    assert img_u8.flags.c_contiguous
+    h, w, _ = img_u8.shape
+    n = len(ops)
+    ops_arr = (ctypes.c_int * n)(*ops)
+    fac_arr = (ctypes.c_float * n)(*[float(f) for f in factors])
+    lib.color_jitter_u8(
+        img_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h, w, ops_arr, fac_arr, n,
+    )
+    return True

@@ -56,12 +56,11 @@ def eval_transform(img: Image.Image, size: int = 224, crop_ratio: float = 0.875)
     return to_normalized_array(resize_center_crop(img, size, crop_ratio))
 
 
-def random_resized_crop(
-    img: Image.Image, size: int, scale: Tuple[float, float],
-    rng: random.Random, ratio=(3 / 4, 4 / 3),
-) -> Image.Image:
-    """torchvision RandomResizedCrop semantics, bicubic."""
-    w, h = img.size
+def rrc_box(
+    w: int, h: int, scale: Tuple[float, float], rng: random.Random,
+    ratio=(3 / 4, 4 / 3),
+) -> Tuple[int, int, int, int]:
+    """torchvision RandomResizedCrop box sampling -> (left, top, cw, ch)."""
     area = w * h
     for _ in range(10):
         target = area * rng.uniform(*scale)
@@ -72,13 +71,21 @@ def random_resized_crop(
         if 0 < cw <= w and 0 < ch <= h:
             left = rng.randint(0, w - cw)
             top = rng.randint(0, h - ch)
-            return img.resize(
-                (size, size), _BICUBIC, box=(left, top, left + cw, top + ch)
-            )
-    # fallback: center crop
+            return left, top, cw, ch
     s = min(w, h)
-    left, top = (w - s) // 2, (h - s) // 2
-    return img.resize((size, size), _BICUBIC, box=(left, top, left + s, top + s))
+    return (w - s) // 2, (h - s) // 2, s, s
+
+
+def random_resized_crop(
+    img: Image.Image, size: int, scale: Tuple[float, float],
+    rng: random.Random, ratio=(3 / 4, 4 / 3),
+) -> Image.Image:
+    """torchvision RandomResizedCrop semantics, bicubic."""
+    w, h = img.size
+    left, top, cw, ch = rrc_box(w, h, scale, rng, ratio)
+    return img.resize(
+        (size, size), _BICUBIC, box=(left, top, left + cw, top + ch)
+    )
 
 
 def gaussian_blur(img: Image.Image, rng: random.Random,
@@ -86,36 +93,56 @@ def gaussian_blur(img: Image.Image, rng: random.Random,
     return img.filter(ImageFilter.GaussianBlur(rng.uniform(*radius_range)))
 
 
+def sample_jitter(
+    rng: random.Random,
+    brightness=0.0, contrast=0.0, saturation=0.0, hue=0.0,
+) -> Tuple[List[int], List[float]]:
+    """ColorJitter parameter sampling: op codes (0 brightness, 1 contrast,
+    2 saturation, 3 hue) in random order + matching factors."""
+    ops: List[int] = []
+    facs: List[float] = []
+    if brightness > 0:
+        ops.append(0)
+        facs.append(rng.uniform(max(0, 1 - brightness), 1 + brightness))
+    if contrast > 0:
+        ops.append(1)
+        facs.append(rng.uniform(max(0, 1 - contrast), 1 + contrast))
+    if saturation > 0:
+        ops.append(2)
+        facs.append(rng.uniform(max(0, 1 - saturation), 1 + saturation))
+    if hue > 0:
+        ops.append(3)
+        facs.append(rng.uniform(-hue, hue))
+    order = list(range(len(ops)))
+    rng.shuffle(order)
+    return [ops[i] for i in order], [facs[i] for i in order]
+
+
+def apply_jitter_pil(img: Image.Image, ops: List[int],
+                     facs: List[float]) -> Image.Image:
+    from PIL import ImageEnhance
+
+    for op, f in zip(ops, facs):
+        if op == 0:
+            img = ImageEnhance.Brightness(img).enhance(f)
+        elif op == 1:
+            img = ImageEnhance.Contrast(img).enhance(f)
+        elif op == 2:
+            img = ImageEnhance.Color(img).enhance(f)
+        else:
+            hsv = np.asarray(img.convert("HSV"), np.uint8).copy()
+            hsv[..., 0] = (hsv[..., 0].astype(np.int16) + int(f * 255)) % 256
+            img = Image.fromarray(hsv, "HSV").convert("RGB")
+    return img
+
+
 def color_jitter(
     img: Image.Image, rng: random.Random,
     brightness=0.0, contrast=0.0, saturation=0.0, hue=0.0,
 ) -> Image.Image:
     """torchvision ColorJitter analog (random order of the four ops)."""
-    from PIL import ImageEnhance
-
-    ops = []
-    if brightness > 0:
-        f = rng.uniform(max(0, 1 - brightness), 1 + brightness)
-        ops.append(lambda im: ImageEnhance.Brightness(im).enhance(f))
-    if contrast > 0:
-        f2 = rng.uniform(max(0, 1 - contrast), 1 + contrast)
-        ops.append(lambda im: ImageEnhance.Contrast(im).enhance(f2))
-    if saturation > 0:
-        f3 = rng.uniform(max(0, 1 - saturation), 1 + saturation)
-        ops.append(lambda im: ImageEnhance.Color(im).enhance(f3))
-    if hue > 0:
-        dh = rng.uniform(-hue, hue)
-
-        def hue_op(im, dh=dh):
-            hsv = np.asarray(im.convert("HSV"), np.uint8).copy()
-            hsv[..., 0] = (hsv[..., 0].astype(np.int16) + int(dh * 255)) % 256
-            return Image.fromarray(hsv, "HSV").convert("RGB")
-
-        ops.append(hue_op)
-    rng.shuffle(ops)
-    for op in ops:
-        img = op(img)
-    return img
+    ops, facs = sample_jitter(rng, brightness, contrast, saturation, hue)
+    return apply_jitter_pil(img, ops, facs)
 
 
 def three_augment(
@@ -171,6 +198,10 @@ class DataAugmentationDINO:
         # False -> emit uint8 crops (normalize in collate; cheaper worker
         # transport + one vectorized/native normalization pass)
         self.normalize = True
+        # numpy/native-C++ crop pipeline (resize_crop_u8 + color_jitter_u8,
+        # ~6x less CPU per sample than the PIL path); falls back to PIL
+        # when native/libocticdata.so lacks the kernels
+        self.use_native = True
 
     def _color(self, img, rng):
         if rng.random() < 0.8:
@@ -185,8 +216,80 @@ class DataAugmentationDINO:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
         return img
 
+    def _call_native(self, image: Image.Image, rng) -> Optional[Dict]:
+        """uint8/native-C++ pipeline: same op sequence and parameter
+        distributions as the PIL path; resize/jitter run in
+        native/octic_data.cc (PIL-equivalent formulas, tested to a small
+        uint8 tolerance in tests/test_native.py)."""
+        from octic_vits_tpu.data import native
+
+        if not native.has_resize():
+            return None
+        arr = np.asarray(image.convert("RGB"), np.uint8)
+        h, w = arr.shape[:2]
+
+        def geo(size, scale):
+            left, top, cw, ch = rrc_box(w, h, scale, rng)
+            out = native.resize_crop(
+                arr, (top, left, top + ch, left + cw), (size, size)
+            )
+            if rng.random() < 0.5:
+                out = np.ascontiguousarray(out[:, ::-1])
+            return out
+
+        def color(c):
+            if rng.random() < 0.8:
+                ops, facs = sample_jitter(rng, 0.4, 0.4, 0.2, 0.1)
+                c = np.ascontiguousarray(c)
+                native.color_jitter_inplace(c, ops, facs)
+            if rng.random() < 0.2:
+                L = (
+                    (299 * c[..., 0].astype(np.uint32)
+                     + 587 * c[..., 1].astype(np.uint32)
+                     + 114 * c[..., 2].astype(np.uint32)) // 1000
+                ).astype(np.uint8)
+                c = np.repeat(L[..., None], 3, axis=-1)
+            return c
+
+        def blur(c):
+            im = Image.fromarray(c).filter(
+                ImageFilter.GaussianBlur(rng.uniform(0.1, 2.0))
+            )
+            return np.asarray(im, np.uint8)
+
+        g1 = color(geo(self.global_crops_size, self.global_crops_scale))
+        g1 = blur(g1)
+        g2 = color(geo(self.global_crops_size, self.global_crops_scale))
+        if rng.random() < 0.1:
+            g2 = blur(g2)
+        if rng.random() < 0.2:
+            g2 = np.where(g2 >= 128, 255 - g2, g2).astype(np.uint8)
+        locals_ = []
+        for _ in range(self.local_crops_number):
+            lc = color(geo(self.local_crops_size, self.local_crops_scale))
+            if rng.random() < 0.5:
+                lc = blur(lc)
+            locals_.append(np.ascontiguousarray(lc))
+        out = {
+            "global_crops": [np.ascontiguousarray(g1),
+                             np.ascontiguousarray(g2)],
+            "local_crops": locals_,
+        }
+        if self.normalize:
+            from octic_vits_tpu.data import native as nat
+
+            out = {
+                k: [nat.normalize_batch(v[None])[0] for v in vs]
+                for k, vs in out.items()
+            }
+        return out
+
     def __call__(self, image: Image.Image, rng: Optional[random.Random] = None):
         rng = rng or random
+        if self.use_native:
+            out = self._call_native(image, rng)
+            if out is not None:
+                return out
         g1 = self._geo(image, self.global_crops_size, self.global_crops_scale, rng)
         g1 = self._color(g1, rng)
         g1 = gaussian_blur(g1, rng)  # p=1.0

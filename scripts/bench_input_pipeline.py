@@ -115,13 +115,118 @@ def bench_deit(root, n, batch, workers):
     return seen / dt
 
 
+def bench_stages(root, n_imgs=64, n_local=8):
+    """Per-stage single-core CPU accounting for ONE DINOv2 multi-crop
+    sample (2x224 global + n_local x96 local): decode / RRC+flip /
+    color / blur+solarize / normalize, ms per SOURCE IMAGE. This is the
+    number that scales with host vCPUs (VERDICT round-2 item 6)."""
+    from octic_vits_tpu.data import native
+    from octic_vits_tpu.data.transforms import (
+        color_jitter, gaussian_blur, random_resized_crop, to_uint8_array,
+    )
+    from PIL import Image as PILImage, ImageOps
+
+    files = [os.path.join(root, "c0", f"{i}.jpg") for i in range(n_imgs)]
+    rng = random.Random(0)
+    t = {}
+
+    def clock(key, fn, items):
+        t0 = time.perf_counter()
+        out = [fn(x) for x in items]
+        t[key] = (time.perf_counter() - t0) / n_imgs * 1e3
+        return out
+
+    imgs = clock("decode", lambda p: PILImage.open(p).convert("RGB"), files)
+
+    crop_plan = [(224, (0.32, 1.0))] * 2 + [(96, (0.05, 0.32))] * n_local
+
+    def rrc_all(img):
+        outs = []
+        for size, scale in crop_plan:
+            c = random_resized_crop(img, size, scale, rng)
+            if rng.random() < 0.5:
+                c = c.transpose(PILImage.FLIP_LEFT_RIGHT)
+            outs.append(c)
+        return outs
+
+    crops = clock("rrc+flip (10 crops)", rrc_all, imgs)
+
+    def color_all(cs):
+        outs = []
+        for c in cs:
+            if rng.random() < 0.8:
+                c = color_jitter(c, rng, 0.4, 0.4, 0.2, 0.1)
+            if rng.random() < 0.2:
+                c = ImageOps.grayscale(c).convert("RGB")
+            outs.append(c)
+        return outs
+
+    crops = clock("color (10 crops)", color_all, crops)
+
+    def blur_all(cs):
+        outs = []
+        for i, c in enumerate(cs):
+            p = 1.0 if i == 0 else (0.1 if i == 1 else 0.5)
+            if rng.random() < p:
+                c = gaussian_blur(c, rng)
+            if i == 1 and rng.random() < 0.2:
+                c = ImageOps.solarize(c, threshold=128)
+            outs.append(c)
+        return outs
+
+    crops = clock("blur+solarize (10 crops)", blur_all, crops)
+
+    arrs = clock("to-uint8 (10 crops)", lambda cs: [to_uint8_array(c) for c in cs],
+                 crops)
+
+    def norm_sample(cs):
+        g = native.normalize_batch(np.stack(cs[:2]))
+        l = native.normalize_batch(np.stack(cs[2:]))
+        return g, l
+
+    clock("normalize (native batch)", norm_sample, arrs)
+
+    total = sum(t.values())
+    print("\nDINOv2 per-stage CPU accounting, PIL path (1 core, ms per"
+          f" source image, 2x224+{n_local}x96 crops):")
+    for k, v in t.items():
+        print(f"  {k:28s} {v:7.2f} ms  ({100*v/total:4.1f}%)")
+    print(f"  {'TOTAL':28s} {total:7.2f} ms -> {1e3/total:.1f} img/s/core")
+
+    # end-to-end per-sample: PIL path vs native-C++ path
+    from octic_vits_tpu.data.transforms import DataAugmentationDINO
+
+    rng2 = random.Random(1)
+    for use_native in (False, True):
+        aug = DataAugmentationDINO(local_crops_number=n_local)
+        aug.normalize = False
+        aug.use_native = use_native
+        imgs2 = [PILImage.open(p).convert("RGB") for p in files]
+        t0 = time.perf_counter()
+        for im in imgs2:
+            aug(im, rng2)
+        dt = (time.perf_counter() - t0) / n_imgs * 1e3
+        label = "native-C++" if use_native else "PIL"
+        print(f"  end-to-end aug/sample ({label:10s}): {dt:6.2f} ms "
+              f"-> {1e3/(dt + t['decode']):.1f} img/s/core incl decode")
+    return t
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=512)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--workers", type=int, default=8)
     ap.add_argument("--local-crops", type=int, default=8)
+    ap.add_argument("--stages", action="store_true",
+                    help="per-stage CPU accounting only")
     args = ap.parse_args()
+
+    if args.stages:
+        with tempfile.TemporaryDirectory() as root:
+            make_folder(root, 64)
+            bench_stages(root, 64, args.local_crops)
+        return
 
     with tempfile.TemporaryDirectory() as root:
         make_folder(root, args.n)
