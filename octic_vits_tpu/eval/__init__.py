@@ -7,7 +7,12 @@ features; `with_intermediate_layers(model, params, n)` returns the frozen
 n-last-blocks feature extractor used by the linear probe.
 """
 
-from octic_vits_tpu.eval.attnpool import AttnPoolProbe, train_attnpool_probe
+from octic_vits_tpu.eval.attnpool import (
+    AttnPoolClassifier,
+    LinearClassifier,
+    train_attnpool_probe,
+    train_probe_grid,
+)
 from octic_vits_tpu.eval.knn import (
     evaluate_knn,
     extract_features,

@@ -226,6 +226,10 @@ class OcticDinoVisionTransformer(OcticVisionTransformer):
         return self._cat_cls_and_registers(xs, b)
 
     def _run_to_break(self, xs, deterministic):
+        if self.flat_e_carry:
+            # lane-aligned flat-E trunk carry (see OcticVisionTransformer)
+            e = xs[4]
+            xs = xs[:4] + (e.reshape(e.shape[0], e.shape[1], -1),)
         if self.scan_blocks:
             xs, _ = self.octic_stack(xs, deterministic)
             return self._break_to_flat(xs)

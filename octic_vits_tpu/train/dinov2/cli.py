@@ -82,6 +82,8 @@ def main(argv: Optional[List[str]] = None):
             compute_dtype=jnp.bfloat16
             if cfg.compute_precision.compute_dtype == "bfloat16"
             else jnp.float32,
+            backbone_scan=bool(getattr(cfg.student, "scan_blocks", True)),
+            backbone_remat=bool(getattr(cfg.student, "remat", True)),
         )
     )
 

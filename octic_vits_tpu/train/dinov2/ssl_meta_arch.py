@@ -71,6 +71,11 @@ class SSLConfig:
     # precision / kernels
     compute_dtype: Any = jnp.bfloat16
     use_pallas_kernels: bool = True  # fused attention/MLP kernels on TPU
+    # scan-over-blocks trunk + selective remat for the backbones: required
+    # to fit ViT-H/16 SSL (2x224 + 8x96 student fwd+bwd) in 16G HBM; off
+    # for tiny test models where unrolled compiles are fine
+    backbone_scan: bool = False
+    backbone_remat: bool = False
 
 
 class SSLState(NamedTuple):
@@ -107,9 +112,12 @@ class SSLMetaArch:
             # dense kernel's row tiling
             kernel_kwargs = dict(use_pallas_attention=True)
             if octic_arch:
-                kernel_kwargs.update(use_pallas_linear=True)
+                kernel_kwargs.update(use_pallas_linear=True,
+                                     flat_e_carry=True)
         else:
             kernel_kwargs = {}
+        if cfg.backbone_scan:
+            kernel_kwargs.update(scan_blocks=True, remat=cfg.backbone_remat)
         self.backbone = create_model(
             cfg.arch,
             img_size=cfg.img_size,
