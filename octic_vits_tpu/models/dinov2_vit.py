@@ -40,6 +40,8 @@ class DinoVisionTransformer(nn.Module):
     layerscale_init: Optional[float] = 1.0
     num_register_tokens: int = 0
     ffn_layer: str = "mlp"
+    scan_blocks: bool = False  # lax.scan trunk (memory/compile at H-scale)
+    remat: bool = False        # selective per-block rematerialization
     use_pallas_attention: bool = False
     use_pallas_mlp: bool = False
     dtype: Any = None
@@ -70,25 +72,34 @@ class DinoVisionTransformer(nn.Module):
         self.mask_token = self.param(
             "mask_token", nn.initializers.zeros, (1, self.embed_dim), self.param_dtype
         )
-        self.blocks = [
-            Block(
-                num_heads=self.num_heads,
-                mlp_ratio=self.mlp_ratio,
-                qkv_bias=self.qkv_bias,
-                proj_bias=self.proj_bias,
-                ffn_bias=self.ffn_bias,
-                drop_path=self.drop_path_rate,
-                layerscale_init=self.layerscale_init,
-                norm_eps=1e-6,
-                ffn_layer=self.ffn_layer,
-                use_pallas_attention=self.use_pallas_attention,
-                use_pallas_mlp=self.use_pallas_mlp,
-                dtype=self.dtype,
-                param_dtype=self.param_dtype,
-                name=f"blocks_{i}",
+        block_cfg = dict(
+            num_heads=self.num_heads,
+            mlp_ratio=self.mlp_ratio,
+            qkv_bias=self.qkv_bias,
+            proj_bias=self.proj_bias,
+            ffn_bias=self.ffn_bias,
+            drop_path=self.drop_path_rate,
+            layerscale_init=self.layerscale_init,
+            norm_eps=1e-6,
+            ffn_layer=self.ffn_layer,
+            use_pallas_attention=self.use_pallas_attention,
+            use_pallas_mlp=self.use_pallas_mlp,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )
+        if self.scan_blocks:
+            from octic_vits_tpu.models.scan_blocks import make_scanned_stack
+
+            self.block_stack = make_scanned_stack(
+                "standard", block_cfg, self.depth, "blocks",
+                remat=self.remat,
             )
-            for i in range(self.depth)
-        ]
+            self.blocks = []
+        else:
+            self.blocks = [
+                Block(**block_cfg, name=f"blocks_{i}")
+                for i in range(self.depth)
+            ]
         self.norm = nn.LayerNorm(epsilon=1e-6, param_dtype=self.param_dtype)
 
     def _interpolated_pos(self, grid_hw):
@@ -120,6 +131,9 @@ class DinoVisionTransformer(nn.Module):
         return x
 
     def _run_blocks(self, x: Array, deterministic: bool) -> Array:
+        if self.scan_blocks:
+            x, _ = self.block_stack(x, deterministic)
+            return x
         for blk in self.blocks:
             x = blk(x, deterministic)
         return x
