@@ -48,7 +48,8 @@ def _child(which: str) -> None:
     if which == "hybrid":
         model = OcticVisionTransformer(
             use_pallas_attention=on_tpu, use_pallas_linear=on_tpu,
-            use_pallas_std_mlp=on_tpu, flat_e_carry=True, **common
+            use_pallas_std_mlp=on_tpu, flat_e_carry=True,
+            fuse_mlp=on_tpu, **common
         )
     else:
         # the baseline gets the same generic fused kernels —

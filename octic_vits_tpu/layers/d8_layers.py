@@ -335,6 +335,34 @@ class GeluD8(nn.Module):
         return gelu_d8(xs, use_pallas=self.use_pallas)
 
 
+class _LinearD8Params(nn.Module):
+    """Parameter-only twin of :class:`LinearD8` (identical names, shapes and
+    initializers) for fused multi-layer kernels that consume raw weights —
+    the parameter tree stays byte-identical to the unfused path."""
+
+    features: int
+    in_features: int
+    use_bias: bool = True
+    param_dtype: Any = jnp.float32
+    kernel_init: Callable = _trunc_normal(0.02)
+
+    @nn.compact
+    def __call__(self):
+        c8 = self.in_features // 8
+        f8 = self.features // 8
+        w1 = self.param("kernel_1d", self.kernel_init, (4, c8, f8),
+                        self.param_dtype)
+        we = self.param("kernel_e", self.kernel_init, (2 * c8, 2 * f8),
+                        self.param_dtype)
+        bias = (
+            self.param("bias_a1", nn.initializers.zeros, (f8,),
+                       self.param_dtype)
+            if self.use_bias
+            else None
+        )
+        return w1, we, bias
+
+
 class MlpD8(nn.Module):
     """fc1 -> octic gelu -> dropout -> (norm) -> fc2 -> dropout.
     Reference: octic_vits/d8_layers.py:215-247."""
@@ -345,6 +373,9 @@ class MlpD8(nn.Module):
     drop: float = 0.0
     use_pallas_gelu: bool = False
     use_pallas_linear: bool = False  # fused matmul(+GELU epilogue) kernels
+    # single-kernel fc1+GELU+fc2 (hidden never leaves VMEM); falls back to
+    # the two-kernel path when dropout or a fused epilogue is requested
+    fuse_mlp: bool = False
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
@@ -354,6 +385,30 @@ class MlpD8(nn.Module):
         in_features = xs[0].shape[-1] * 8
         hidden = self.hidden_features or in_features
         out = self.out_features or in_features
+        if (
+            self.fuse_mlp
+            and self.use_pallas_linear
+            and layerscale is None
+            and (self.drop == 0.0 or deterministic)
+        ):
+            from octic_vits_tpu.ops.pallas_linear import mlp_d8_tuple
+
+            w1a, wea, b1 = _LinearD8Params(
+                hidden, in_features, use_bias=self.use_bias,
+                param_dtype=self.param_dtype, name="fc1",
+            )()
+            w1b, web, b2 = _LinearD8Params(
+                out, hidden, use_bias=self.use_bias,
+                param_dtype=self.param_dtype, name="fc2",
+            )()
+            dtype = self.dtype or xs[0].dtype
+            flat_e = xs[4].ndim == xs[0].ndim
+            cast = lambda t: None if t is None else t.astype(dtype)
+            return mlp_d8_tuple(
+                tuple(x.astype(dtype) for x in xs),
+                cast(w1a), cast(wea), cast(b1), cast(w1b), cast(web),
+                cast(b2), flat_e=flat_e,
+            )
         common = dict(
             dtype=self.dtype, param_dtype=self.param_dtype,
             use_pallas=self.use_pallas_linear,
@@ -806,6 +861,9 @@ class BlockD8(nn.Module):
     # under the scanned trunk (173 vs 163 ms) — per-module kernels pipeline
     # better across scan iterations. Kept as a tested option.
     fuse_mlp_branch: bool = False
+    # single-kernel fc1+GELU+fc2 (no norm/ls glue): the hidden stays in
+    # VMEM instead of round-tripping HBM between the two linear kernels
+    fuse_mlp: bool = False
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
@@ -887,6 +945,7 @@ class BlockD8(nn.Module):
             # in fused-branch mode the module only materializes params via a
             # dummy call — keep its own compute path eager
             use_pallas_linear=self.use_pallas_linear and not fuse_mlp_branch,
+            fuse_mlp=self.fuse_mlp and not fuse_epilogue,
             name="mlp",
             **common,
         )

@@ -71,6 +71,8 @@ class OcticVisionTransformer(nn.Module):
     use_pallas_std_mlp: bool = False
     use_wide_qkv: bool = False  # wide-1d octic attention qkv (AttentionD8)
     fuse_mlp_branch: bool = False
+    # single-kernel fc1+GELU+fc2 for the octic MLP (hidden stays in VMEM)
+    fuse_mlp: bool = False
     fuse_block_epilogues: bool = False  # ls+residual into proj/fc2 kernels
     dtype: Any = None
     param_dtype: Any = jnp.float32
@@ -146,6 +148,7 @@ class OcticVisionTransformer(nn.Module):
             use_pallas_attention=self.use_pallas_attention,
             use_wide_qkv=self.use_wide_qkv,
             fuse_mlp_branch=self.fuse_mlp_branch,
+            fuse_mlp=self.fuse_mlp,
             fuse_block_epilogues=self.fuse_block_epilogues,
             dtype=self.dtype,
             param_dtype=self.param_dtype,

@@ -423,6 +423,231 @@ def _qkv_wide_bwd_rule(num_heads, interpret, res, g):
 linear_d8_qkv_wide.defvjp(_qkv_wide_fwd_rule, _qkv_wide_bwd_rule)
 
 
+# ---------------------------------------------------------------------------
+# fused octic MLP: fc1 -> octic GELU -> fc2 in ONE kernel. The separate-
+# kernel path stores the 4x-wide hidden to HBM between fc1 and fc2
+# (~336 MB/block round trip at ViT-H B=64 ~ 0.4 ms); here the hidden lives
+# only in VMEM, exactly like the standard model's dense_gelu MLP kernel.
+# Unlike the retired mlp_branch kernel (BENCH.md round-3 dead end 7) this
+# fuses ONLY the two matmuls + GELU — norm/LayerScale/residual glue stays
+# in XLA where its VPU time pipelines with neighboring ops.
+# Numerics are identical to the two-kernel composition: f32 accumulators,
+# f32 GELU pipeline (cheap erf on the bf16 path), hidden rounded to the
+# compute dtype between GELU and fc2 (the rounding the HBM store applied).
+# Reference: octic_vits/d8_layers.py:215-247 (MlpD8).
+# ---------------------------------------------------------------------------
+
+
+def _mlp_kernel(x1, xef, w1a, wea, b1, w1b, web, b2, y1, yef,
+                *, use_bias: bool):
+    dtype = y1.dtype
+    c = w1a.shape[-2]
+    h = w1a.shape[-1]
+    hid1 = []
+    for g in range(4):
+        acc = jax.lax.dot_general(
+            x1[g], w1a[g],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        hid1.append(acc)
+    if use_bias:
+        hid1[0] = hid1[0] + b1[0].astype(jnp.float32)
+    hrow0 = jax.lax.dot_general(
+        xef[:, : 2 * c], wea[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    hrow1 = jax.lax.dot_general(
+        xef[:, 2 * c :], wea[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    e11, e12 = hrow0[:, :h], hrow0[:, h:]
+    e21, e22 = hrow1[:, :h], hrow1[:, h:]
+    a1, a2, b1g, b2g, e11, e12, e21, e22 = _apply_gelu_tiles(
+        hid1[0], hid1[1], hid1[2], hid1[3], e11, e12, e21, e22,
+        cheap=dtype == jnp.bfloat16,
+    )
+    # hidden -> compute dtype: same rounding the separate-kernel path's
+    # HBM store applied, so outputs match that path bitwise
+    hs = [t.astype(dtype) for t in (a1, a2, b1g, b2g)]
+    he0 = jnp.concatenate((e11, e12), axis=1).astype(dtype)
+    he1 = jnp.concatenate((e21, e22), axis=1).astype(dtype)
+    outs = []
+    for g in range(4):
+        acc = jax.lax.dot_general(
+            hs[g], w1b[g],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append(acc)
+    if use_bias:
+        outs[0] = outs[0] + b2[0].astype(jnp.float32)
+    yrow0 = jax.lax.dot_general(
+        he0, web[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    yrow1 = jax.lax.dot_general(
+        he1, web[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    for g in range(4):
+        y1[g] = outs[g].astype(dtype)
+    yef[...] = jnp.concatenate((yrow0, yrow1), axis=1).astype(dtype)
+
+
+def _mlp_row_tile(m: int, c: int, h: int, itemsize: int) -> int:
+    # gelu temporaries (f32, ~4x the live hidden) dominate scoped VMEM —
+    # same accounting as the mlp_branch kernel. tm sweep at ViT-H B=64:
+    # 136 -> 137.4 ms model-level, 224 -> 136.8 (best), 256 -> 137.1,
+    # 512 -> scoped-VMEM compile failure; 224 is the measured-safe cap.
+    budget = int(5.7 * 1024 * 1024)
+    per_row = 16 * c * itemsize + 8 * h * 4
+    tm = max(8, budget // max(per_row, 1))
+    return max(8, min((tm // 8) * 8, m, 224))
+
+
+def _mlp_fwd_pallas(x1, xef, w1a, wea, b1, w1b, web, b2, interpret):
+    m = x1.shape[1]
+    c = w1a.shape[1]
+    h = w1a.shape[2]
+    f = w1b.shape[2]
+    use_bias = b1 is not None
+    b1v = jnp.zeros((1, h), x1.dtype) if b1 is None else b1.reshape(1, h)
+    b2v = jnp.zeros((1, f), x1.dtype) if b2 is None else b2.reshape(1, f)
+    tm = _mlp_row_tile(m, c, h, x1.dtype.itemsize)
+    grid = (pl.cdiv(m, tm),)
+    y1, yef = pl.pallas_call(
+        functools.partial(_mlp_kernel, use_bias=use_bias),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((4, tm, c), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 4 * c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, c, h), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * c, 2 * h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, h, f), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * h, 2 * f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((4, tm, f), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 4 * f), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((4, m, f), x1.dtype),
+            jax.ShapeDtypeStruct((m, 4 * f), x1.dtype),
+        ),
+        interpret=interpret,
+    )(x1, xef, w1a, wea, b1v, w1b, web, b2v)
+    return y1, yef
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def mlp_d8_fused(x1, xef, w1a, wea, b1, w1b, web, b2,
+                 interpret: Optional[bool] = None):
+    """One-kernel octic MLP (fc1 + octic GELU + fc2, hidden in VMEM).
+
+    Layouts as `linear_d8_fused`; w1a/wea/b1 are fc1 weights (c -> h),
+    w1b/web/b2 fc2 weights (h -> c)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _mlp_fwd_pallas(x1, xef, w1a, wea, b1, w1b, web, b2, interpret)
+
+
+def _mlp_fwd_rule(x1, xef, w1a, wea, b1, w1b, web, b2, interpret):
+    out = mlp_d8_fused(x1, xef, w1a, wea, b1, w1b, web, b2, interpret)
+    return out, (x1, xef, w1a, wea, b1, w1b, web, b2)
+
+
+def _mlp_bwd_rule(interpret, res, cot):
+    """Composition of the two linear kernels' backward rules: recompute the
+    pre-activation and (rounded) hidden, fc2 grads, GELU grad, fc1 grads —
+    operation-for-operation what the separate-kernel path's backward does."""
+    x1, xef, w1a, wea, b1, w1b, web, b2 = res
+    g1, gef = cot
+    h = w1a.shape[2]
+    c = w1a.shape[1]
+    f = w1b.shape[2]
+    # recompute the rounded hidden through the fc1(+GELU) KERNEL — the
+    # same op the separate-kernel path replays under remat, so the
+    # backward's cost and the fc2 wgrad's operand are identical to that
+    # path (an eager gelu+butterfly recompute here measured ~10 ms/step
+    # slower at ViT-H B=32). The eager pre-activation below only feeds the
+    # GELU gradient.
+    h1, hef = linear_d8_fused(
+        x1, xef, w1a, wea, b1, None, None, None, None, True, interpret
+    )
+    z1, row0, row1 = _eager_linear(x1, xef, w1a, wea, b1)
+    z = (z1[0], z1[1], z1[2], z1[3],
+         row0[:, :h], row1[:, :h], row0[:, h:], row1[:, h:])
+    u = isotypic_to_regular(z)
+    # fc2 backward
+    g1f = g1.astype(jnp.float32)
+    geff = gef.astype(jnp.float32)
+    dh1 = jnp.einsum("gmf,gcf->gmc", g1f, w1b.astype(jnp.float32))
+    dw1b = jnp.einsum("gmc,gmf->gcf", h1.astype(jnp.float32), g1f)
+    grow0, grow1 = geff[:, : 2 * f], geff[:, 2 * f :]
+    webf = web.astype(jnp.float32)
+    dhef = jnp.concatenate((grow0 @ webf.T, grow1 @ webf.T), axis=-1)
+    heff = hef.astype(jnp.float32)
+    dweb = heff[:, : 2 * h].T @ grow0 + heff[:, 2 * h :].T @ grow1
+    db2 = None if b2 is None else jnp.sum(g1f[0], axis=0).astype(b2.dtype)
+    # GELU backward (exact-erf grad, matching linear_d8_fused's bwd)
+    gz = (dh1[0], dh1[1], dh1[2], dh1[3],
+          dhef[:, :h], dhef[:, 2 * h : 3 * h],
+          dhef[:, h : 2 * h], dhef[:, 3 * h :])
+    v = isotypic_to_regular(gz)
+    d = regular_to_isotypic(tuple(_gelu_grad(ui) * vi for ui, vi in zip(u, v)))
+    gz1 = jnp.stack(d[:4])
+    gzef = jnp.concatenate((d[4], d[6], d[5], d[7]), axis=-1)
+    # fc1 backward
+    x1f = x1.astype(jnp.float32)
+    dx1 = jnp.einsum("gmf,gcf->gmc", gz1, w1a.astype(jnp.float32))
+    dw1a = jnp.einsum("gmc,gmf->gcf", x1f, gz1)
+    zrow0, zrow1 = gzef[:, : 2 * h], gzef[:, 2 * h :]
+    weaf = wea.astype(jnp.float32)
+    dxef = jnp.concatenate((zrow0 @ weaf.T, zrow1 @ weaf.T), axis=-1)
+    xeff = xef.astype(jnp.float32)
+    dwea = xeff[:, : 2 * c].T @ zrow0 + xeff[:, 2 * c :].T @ zrow1
+    db1 = None if b1 is None else jnp.sum(gz1[0], axis=0).astype(b1.dtype)
+    return (
+        dx1.astype(x1.dtype),
+        dxef.astype(xef.dtype),
+        dw1a.astype(w1a.dtype),
+        dwea.astype(wea.dtype),
+        db1,
+        dw1b.astype(w1b.dtype),
+        dweb.astype(web.dtype),
+        db2,
+    )
+
+
+mlp_d8_fused.defvjp(_mlp_fwd_rule, _mlp_bwd_rule)
+
+
+def mlp_d8_tuple(xs, w1a, wea, b1, w1b, web, b2, interpret=None,
+                 flat_e=False):
+    """5-tuple wrapper for the fused octic MLP (layouts as
+    `linear_d8_tuple`)."""
+    a1 = xs[0]
+    lead = a1.shape[:-1]
+    m = 1
+    for dd in lead:
+        m *= dd
+    c = a1.shape[-1]
+    f = w1b.shape[-1]
+    x1 = jnp.stack([x.reshape(m, c) for x in xs[:4]])
+    xef = xs[4].reshape(m, 4 * c)
+    y1, yef = mlp_d8_fused(x1, xef, w1a, wea, b1, w1b, web, b2, interpret)
+    outs = tuple(y1[g].reshape(*lead, f) for g in range(4))
+    e = yef.reshape(*lead, 4 * f) if flat_e else yef.reshape(*lead, 2, 2 * f)
+    return outs + (e,)
+
+
 def linear_d8_tuple(xs, w1, we, bias, fuse_gelu=False, interpret=None,
                     layerscale=None, residual=None, flat_e=False):
     """5-tuple wrapper: (a1,a2,b1,b2,e[...,2,2c]) -> 5-tuple of width f.

@@ -52,7 +52,8 @@ def run(which: str, b: int, iters: int = 8, size: str = "large",
         patch_size=16,
         drop_path_rate=0.0, n_local_crops=8, compute_dtype=jnp.bfloat16,
         # scan+remat needed for the H/16 student fwd+bwd to fit 16G HBM
-        backbone_scan=True, backbone_remat=(size == "huge"),
+        backbone_scan=True,
+        backbone_remat=(size == "huge" and "--no-remat" not in sys.argv),
     )
     arch = SSLMetaArch(cfg)
     state = arch.init(jax.random.PRNGKey(0))

@@ -95,7 +95,6 @@ def k_phased(qkv, o, ps):
     """Phase 1: scores for all heads into [H*NP, 384] scratch (bf16 after
     max-subtraction). Phase 2: one wide exp + row-sum. Phase 3: AV."""
     dtype = qkv.dtype
-    invs = []
     for h in range(H):
         q, k, _ = _qkv_h(qkv, h)
         s = _scores(q, k)

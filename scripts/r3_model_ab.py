@@ -38,6 +38,7 @@ VARIANTS = {
     "flat_xoctmlp": {"flat_e_carry": True, "use_pallas_linear": False,
                      "use_pallas_gelu": True},
     "flat_xoctmlp2": {"flat_e_carry": True, "use_pallas_linear": False},
+    "flat_fusemlp": {"flat_e_carry": True, "fuse_mlp": True},
 }
 
 

@@ -171,3 +171,87 @@ def test_qkv_wide_gradients_match_tuple_path():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(e), atol=1e-4, err_msg=f"arg={i}"
         )
+
+
+def make_mlp_inputs(m=24, c=16, h=32, seed=3, bias=True):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 8)
+    x1 = jax.random.normal(ks[0], (4, m, c))
+    xef = jax.random.normal(ks[1], (m, 4 * c))
+    w1a = jax.random.normal(ks[2], (4, c, h)) * 0.1
+    wea = jax.random.normal(ks[3], (2 * c, 2 * h)) * 0.1
+    b1 = jax.random.normal(ks[4], (h,)) * 0.1 if bias else None
+    w1b = jax.random.normal(ks[5], (4, h, c)) * 0.1
+    web = jax.random.normal(ks[6], (2 * h, 2 * c)) * 0.1
+    b2 = jax.random.normal(ks[7], (c,)) * 0.1 if bias else None
+    return x1, xef, w1a, wea, b1, w1b, web, b2
+
+
+def _mlp_two_kernel(x1, xef, w1a, wea, b1, w1b, web, b2):
+    h1, hef = linear_d8_fused(
+        x1, xef, w1a, wea, b1, None, None, None, None, True, True
+    )
+    return linear_d8_fused(
+        h1, hef, w1b, web, b2, None, None, None, None, False, True
+    )
+
+
+def test_fused_mlp_matches_two_kernel_path():
+    from octic_vits_tpu.ops.pallas_linear import mlp_d8_fused
+
+    for bias in (True, False):
+        args = make_mlp_inputs(bias=bias)
+        ya, yefa = _mlp_two_kernel(*args)
+        yb, yefb = mlp_d8_fused(*args, True)
+        np.testing.assert_allclose(np.asarray(ya), np.asarray(yb), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(yefa), np.asarray(yefb), atol=1e-6
+        )
+
+
+def test_fused_mlp_gradients_match_two_kernel_path():
+    from octic_vits_tpu.ops.pallas_linear import mlp_d8_fused
+
+    args = make_mlp_inputs(m=16, c=8, h=16)
+
+    def loss_two(a):
+        y1, yef = _mlp_two_kernel(*a)
+        return jnp.sum(jnp.sin(y1)) + jnp.sum(jnp.cos(yef))
+
+    def loss_fused(a):
+        y1, yef = mlp_d8_fused(*a, True)
+        return jnp.sum(jnp.sin(y1)) + jnp.sum(jnp.cos(yef))
+
+    ga = jax.grad(loss_two)(args)
+    gb = jax.grad(loss_fused)(args)
+    for i, (a, b) in enumerate(zip(ga, gb)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, err_msg=f"arg={i}"
+        )
+
+
+def test_fused_mlp_module_path_matches_unfused():
+    """MlpD8(fuse_mlp=True) == MlpD8(fuse_mlp=False) with identical params
+    (both pallas paths, flat-E container)."""
+    from octic_vits_tpu.layers.d8_layers import MlpD8
+
+    b, n, c8 = 2, 6, 8
+    dim = 8 * c8
+    xs = tuple(
+        jax.random.normal(jax.random.PRNGKey(30 + i), (b, n, c8))
+        for i in range(4)
+    ) + (jax.random.normal(jax.random.PRNGKey(40), (b, n, 4 * c8)),)
+    base = MlpD8(hidden_features=2 * dim, use_pallas_linear=True)
+    fused = MlpD8(hidden_features=2 * dim, use_pallas_linear=True,
+                  fuse_mlp=True)
+    params = base.init(jax.random.PRNGKey(1), xs)
+    y0 = base.apply(params, xs)
+    y1 = fused.apply(params, xs)
+    for a, e in zip(y1, y0):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(e), atol=1e-5
+        )
+    # identical parameter trees (the fused path uses a param-only twin)
+    p2 = fused.init(jax.random.PRNGKey(1), xs)
+    t0 = jax.tree_util.tree_structure(params)
+    t1 = jax.tree_util.tree_structure(p2)
+    assert t0 == t1
