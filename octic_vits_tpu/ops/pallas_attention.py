@@ -130,16 +130,116 @@ def _octic_slices(refs, h, num_heads, d1, de, s_idx):
     return pieces
 
 
+def _octic_pair_masks(d1, de, dtype):
+    """Lane masks selecting the even-head (m0) / odd-head (m1) channels of
+    the PAIR column order a1[h|h+1] a2[..] b1[..] b2[..] e0[h|h+1] e1[..].
+    Built with iota arithmetic (constants would be captured consts)."""
+    w = 8 * d1 + 4 * de
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    blk = jnp.where(col < 8 * d1, col // d1, (col - 8 * d1) // de)
+    m0 = (blk % 2 == 0).astype(dtype)
+    return m0, (1 - m0)
+
+
+def _octic_pair_slices(refs, h, num_heads, d1, de, s_idx):
+    """Channel slices for heads (h, h+1) — adjacent heads are contiguous in
+    every per-irrep array, so a pair costs the same SIX slices as one head
+    at twice the width (halves the Mosaic operand-copy count, the measured
+    kernel floor — see BENCH.md v5e cost law)."""
+    a1, a2, b1, b2, e0, e1 = refs
+    pieces = []
+    for arr in (a1, a2, b1, b2):
+        off = (s_idx * num_heads + h) * d1
+        pieces.append(arr[0][:, off : off + 2 * d1])
+    off = (s_idx * num_heads + h) * de
+    pieces.append(e0[0][:, off : off + 2 * de])
+    pieces.append(e1[0][:, off : off + 2 * de])
+    return jnp.concatenate(pieces, axis=1)
+
+
+def _pair_attn_fwd(qp, kp, vp, m0, m1, scale, dtype):
+    """Two heads' attention from pair-wide operands: per-head scores use a
+    lane-masked K (cross-head terms die under the mask), AV runs pair-wide
+    and the two results merge with full-width selects."""
+    outs = []
+    for m in (m0, m1):
+        s = jax.lax.dot_general(
+            qp, kp * m, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        ph, inv = _probs_unnormalized(s, dtype)
+        outs.append(jnp.dot(ph, vp, preferred_element_type=jnp.float32) * inv)
+    return outs[0] * m0.astype(jnp.float32) + outs[1] * m1.astype(jnp.float32)
+
+
+def _pair_attn_bwd(qp, kp, vp, gp, m0, m1, scale, dtype):
+    """Pair-wide bwd: recomputes each head's probs from the masked K; the
+    off-head columns of dq/dk/dv are garbage and die in the mask merge."""
+    dqs, dks, dvs = [], [], []
+    for m in (m0, m1):
+        km = kp * m
+        s = jax.lax.dot_general(
+            qp, km, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        ph, inv = _probs_unnormalized(s, dtype)
+        ginv = (gp.astype(jnp.float32) * inv).astype(dtype)
+        dv = jax.lax.dot_general(
+            ph, ginv, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            (gp * m).astype(dtype), vp, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        p32 = ph.astype(jnp.float32) * inv
+        row = jnp.sum(dp * p32, axis=1, keepdims=True)
+        ds = (p32 * (dp - row) * scale).astype(dtype)
+        dq = jnp.dot(ds, km, preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(
+            ds, qp, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dqs.append(dq)
+        dks.append(dk)
+        dvs.append(dv)
+    m0f = m0.astype(jnp.float32)
+    m1f = m1.astype(jnp.float32)
+    return (dqs[0] * m0f + dqs[1] * m1f,
+            dks[0] * m0f + dks[1] * m1f,
+            dvs[0] * m0f + dvs[1] * m1f)
+
+
 def _octic_fwd_kernel(a1, a2, b1, b2, e0, e1, o1, o2, o3, o4, oe0, oe1,
                       *, num_heads, d1, de, scale):
     dtype = a1.dtype
     refs = (a1, a2, b1, b2, e0, e1)
-    for h in range(num_heads):
+    outs = (o1, o2, o3, o4)
+    # head-PAIR path (even head counts): halves the sliced-operand copies
+    # and the store count; math is bitwise-identical to the per-head loop
+    # (ablation: 1234 -> 876 us at ViT-H B=64, scripts/r3_attn_bwd_ablate.py)
+    m0, m1 = _octic_pair_masks(d1, de, dtype)
+    for h in range(0, num_heads - 1, 2):
+        qp = _octic_pair_slices(refs, h, num_heads, d1, de, 0)
+        kp = _octic_pair_slices(refs, h, num_heads, d1, de, 1)
+        vp = _octic_pair_slices(refs, h, num_heads, d1, de, 2)
+        out = _pair_attn_fwd(qp, kp, vp, m0, m1, scale, dtype)
+        for g in range(4):
+            outs[g][0, :, h * d1 : (h + 2) * d1] = (
+                out[:, 2 * g * d1 : 2 * (g + 1) * d1].astype(dtype)
+            )
+        base = 8 * d1
+        for r, oref in ((0, oe0), (1, oe1)):
+            off = base + r * 2 * de
+            oref[0, :, h * de : (h + 2) * de] = (
+                out[:, off : off + 2 * de].astype(dtype)
+            )
+    if num_heads % 2:
+        h = num_heads - 1
         q = jnp.concatenate(_octic_slices(refs, h, num_heads, d1, de, 0), axis=1)
         k = jnp.concatenate(_octic_slices(refs, h, num_heads, d1, de, 1), axis=1)
         v = jnp.concatenate(_octic_slices(refs, h, num_heads, d1, de, 2), axis=1)
-        out = _attn_head(q, k, v, scale, dtype)  # [N, 4*d1 + 2*de] fp32
-        outs = (o1, o2, o3, o4)
+        out = _attn_head(q, k, v, scale, dtype)
         for g in range(4):
             outs[g][0, :, h * d1 : (h + 1) * d1] = (
                 out[:, g * d1 : (g + 1) * d1].astype(dtype)
@@ -157,12 +257,38 @@ def _octic_bwd_kernel(a1, a2, b1, b2, e0, e1, g1, g2, g3, g4, ge0, ge1,
     dtype = a1.dtype
     refs = (a1, a2, b1, b2, e0, e1)
     # every (s_idx, head) writes a disjoint column slice; together they
-    # cover each output exactly once — no accumulation needed
-    for h in range(num_heads):
+    # cover each output exactly once — no accumulation needed. Head-PAIR
+    # path: 2x-wide loads/stores at half the count (1740 -> 1295 us B=32)
+    m0, m1 = _octic_pair_masks(d1, de, dtype)
+    for h in range(0, num_heads - 1, 2):
+        qp = _octic_pair_slices(refs, h, num_heads, d1, de, 0)
+        kp = _octic_pair_slices(refs, h, num_heads, d1, de, 1)
+        vp = _octic_pair_slices(refs, h, num_heads, d1, de, 2)
+        g_pieces = []
+        for arr in (g1, g2, g3, g4):
+            g_pieces.append(arr[0][:, h * d1 : (h + 2) * d1])
+        for arr in (ge0, ge1):
+            g_pieces.append(arr[0][:, h * de : (h + 2) * de])
+        gp = jnp.concatenate(g_pieces, axis=1)
+        dq, dk, dv = _pair_attn_bwd(qp, kp, vp, gp, m0, m1, scale, dtype)
+        for s_idx, dmat in ((0, dq), (1, dk), (2, dv)):
+            for gix, arr in enumerate((da1, da2, db1, db2)):
+                off = (s_idx * num_heads + h) * d1
+                arr[0, :, off : off + 2 * d1] = (
+                    dmat[:, 2 * gix * d1 : 2 * (gix + 1) * d1].astype(dtype)
+                )
+            base = 8 * d1
+            for r, arr in ((0, de0_), (1, de1_)):
+                off = (s_idx * num_heads + h) * de
+                arr[0, :, off : off + 2 * de] = (
+                    dmat[:, base + r * 2 * de : base + (r + 1) * 2 * de]
+                    .astype(dtype)
+                )
+    if num_heads % 2:
+        h = num_heads - 1
         q = jnp.concatenate(_octic_slices(refs, h, num_heads, d1, de, 0), axis=1)
         k = jnp.concatenate(_octic_slices(refs, h, num_heads, d1, de, 1), axis=1)
         v = jnp.concatenate(_octic_slices(refs, h, num_heads, d1, de, 2), axis=1)
-        # incoming grad for this head, in the same concat order
         g_pieces = []
         for arr in (g1, g2, g3, g4):
             g_pieces.append(arr[0][:, h * d1 : (h + 1) * d1])
@@ -170,7 +296,6 @@ def _octic_bwd_kernel(a1, a2, b1, b2, e0, e1, g1, g2, g3, g4, ge0, ge1,
             g_pieces.append(arr[0][:, h * de : (h + 1) * de])
         g = jnp.concatenate(g_pieces, axis=1)
         dq, dk, dv = _attn_head_bwd(q, k, v, g, scale, dtype)
-        # scatter back into the (3, H, d) qkv layouts (disjoint slices)
         for s_idx, dmat in ((0, dq), (1, dk), (2, dv)):
             col = 0
             for arr in (da1, da2, db1, db2):

@@ -1,0 +1,794 @@
+"""Ablate the ATTENTION BWD kernels and head-packed matmul variants.
+
+Questions this answers (B=64, ViT-H shapes):
+1. How much of the octic bwd kernel's 1.7 ms is the dq/dk/dv SCATTER back
+   into the 6 native arrays at 10/20-col granularity? (wide-store variant)
+2. How much is the g (cotangent) assembly?  (wide-g variant)
+3. Does BLOCK-DIAGONAL HEAD PACKING — P heads' scores/AV evaluated as one
+   matmul against a block-placed K/V scratch (no transposes; off-diagonal
+   zero blocks written once) — beat the per-head loop for the std fwd
+   kernel?  Packing trades ~P/2x zero-FLOPs in the two matmuls for a /P
+   reduction in matmul+softmax op count and fewer padded lanes
+   (P*N+pad < P*(N->384)).
+
+Run: python scripts/r3_attn_bwd_ablate.py
+"""
+
+import functools
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from octic_vits_tpu.ops.pallas_attention import (
+    _attn_head,
+    _attn_head_bwd,
+    _octic_bwd_kernel,
+    _octic_slices,
+    _probs_unnormalized,
+    _std_bwd_kernel,
+)
+from octic_vits_tpu.utils.benchlib import measure_steps
+
+B, H, N = 64, 16, 257
+C = 1280
+C8 = C // 8
+DH = C // H          # 80
+D1 = C8 // H         # 10
+DE = 2 * C8 // H     # 20
+SCALE = DH ** -0.5
+DT = jnp.bfloat16
+INTERP = jax.default_backend() == "cpu"
+
+
+# ---------------------------------------------------------------------------
+# octic bwd variants
+# ---------------------------------------------------------------------------
+
+
+def k_octic_bwd_widestore(a1, a2, b1, b2, e0, e1, g1, g2, g3, g4, ge0, ge1,
+                          dwide, *, num_heads, d1, de, scale):
+    """Same math as _octic_bwd_kernel but dq/dk/dv stored CONTIGUOUSLY per
+    (s, head) into one wide [N, 3*H*dh] output — isolates the scatter tax."""
+    dtype = a1.dtype
+    refs = (a1, a2, b1, b2, e0, e1)
+    dh = 4 * d1 + 2 * de
+    for h in range(num_heads):
+        q = jnp.concatenate(_octic_slices(refs, h, num_heads, d1, de, 0), axis=1)
+        k = jnp.concatenate(_octic_slices(refs, h, num_heads, d1, de, 1), axis=1)
+        v = jnp.concatenate(_octic_slices(refs, h, num_heads, d1, de, 2), axis=1)
+        g_pieces = []
+        for arr in (g1, g2, g3, g4):
+            g_pieces.append(arr[0][:, h * d1 : (h + 1) * d1])
+        for arr in (ge0, ge1):
+            g_pieces.append(arr[0][:, h * de : (h + 1) * de])
+        g = jnp.concatenate(g_pieces, axis=1)
+        dq, dk, dv = _attn_head_bwd(q, k, v, g, scale, dtype)
+        for s_idx, dmat in ((0, dq), (1, dk), (2, dv)):
+            off = (s_idx * num_heads + h) * dh
+            dwide[0, :, off : off + dh] = dmat.astype(dtype)
+
+
+def k_octic_bwd_wideg(a1, a2, b1, b2, e0, e1, gw, da1, da2, db1, db2,
+                      de0_, de1_, *, num_heads, d1, de, scale):
+    """g arrives pre-assembled per head ([N, H*dh] wide) — isolates the
+    cotangent-assembly tax (scatter kept)."""
+    dtype = a1.dtype
+    refs = (a1, a2, b1, b2, e0, e1)
+    dh = 4 * d1 + 2 * de
+    for h in range(num_heads):
+        q = jnp.concatenate(_octic_slices(refs, h, num_heads, d1, de, 0), axis=1)
+        k = jnp.concatenate(_octic_slices(refs, h, num_heads, d1, de, 1), axis=1)
+        v = jnp.concatenate(_octic_slices(refs, h, num_heads, d1, de, 2), axis=1)
+        g = gw[0][:, h * dh : (h + 1) * dh]
+        dq, dk, dv = _attn_head_bwd(q, k, v, g, scale, dtype)
+        for s_idx, dmat in ((0, dq), (1, dk), (2, dv)):
+            col = 0
+            for arr in (da1, da2, db1, db2):
+                off = (s_idx * num_heads + h) * d1
+                arr[0, :, off : off + d1] = dmat[:, col : col + d1].astype(dtype)
+                col += d1
+            for arr in (de0_, de1_):
+                off = (s_idx * num_heads + h) * de
+                arr[0, :, off : off + de] = dmat[:, col : col + de].astype(dtype)
+                col += de
+
+
+# ---------------------------------------------------------------------------
+# head-packed std fwd kernel: P heads per matmul via block-placed K/V
+# ---------------------------------------------------------------------------
+
+
+def k_std_pack_fwd(qkv, o, kbd, vbd, *, P):
+    """Scores for P heads in ONE dot: S[n, i*N+m] = q_hi[n] . k_hi[m] via a
+    [P*N, P*DH] block-placed K scratch (block i at rows i*N, cols i*DH;
+    off-diagonal blocks zeroed once at grid step 0), contracting dim 1 of
+    both operands. AV likewise: [N, P*N] probs @ [P*N, P*DH] V scratch
+    gives the P heads' outputs side by side -> one (P*DH)-wide store."""
+    dtype = qkv.dtype
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        kbd[...] = jnp.zeros_like(kbd)
+        vbd[...] = jnp.zeros_like(vbd)
+
+    for h0 in range(0, H, P):
+        qs = []
+        for i in range(P):
+            h = h0 + i
+            qs.append(qkv[0][:, (0 * H + h) * DH:(0 * H + h + 1) * DH])
+            kbd[i * N:(i + 1) * N, i * DH:(i + 1) * DH] = (
+                qkv[0][:, (1 * H + h) * DH:(1 * H + h + 1) * DH]
+            )
+            vbd[i * N:(i + 1) * N, i * DH:(i + 1) * DH] = (
+                qkv[0][:, (2 * H + h) * DH:(2 * H + h + 1) * DH]
+            )
+        qcat = jnp.concatenate(qs, axis=1)                     # [N, P*DH]
+        s = jax.lax.dot_general(
+            qcat, kbd[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * SCALE                                              # [N, P*N]
+        # pair-max stabilizer: a max over ALL P heads' lanes is a valid
+        # (upper-bound) shift for each head's softmax
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp((s - m).astype(dtype))                     # [N, P*N]
+        # per-head row normalizers
+        invs = []
+        for i in range(P):
+            ssum = jnp.sum(
+                p[:, i * N:(i + 1) * N].astype(jnp.float32), axis=1,
+                keepdims=True,
+            )
+            invs.append(jnp.broadcast_to(1.0 / ssum, (N, DH)))
+        inv = jnp.concatenate(invs, axis=1)                    # [N, P*DH]
+        out = jnp.dot(p, vbd[...], preferred_element_type=jnp.float32)
+        o[0, :, h0 * DH:(h0 + P) * DH] = (out * inv).astype(dtype)
+
+
+def k_std_fwd_loop(qkv, o):
+    for h in range(H):
+        q = qkv[0][:, (0 * H + h) * DH:(0 * H + h + 1) * DH]
+        k = qkv[0][:, (1 * H + h) * DH:(1 * H + h + 1) * DH]
+        v = qkv[0][:, (2 * H + h) * DH:(2 * H + h + 1) * DH]
+        o[0, :, h * DH:(h + 1) * DH] = _attn_head(
+            q, k, v, SCALE, qkv.dtype
+        ).astype(qkv.dtype)
+
+
+def k_std_pack_bwd(qkv, g, dqkv, kbd, vbd, qbd, gbd, *, P):
+    """Head-packed bwd: recompute packed probs, then dv/dp/ds/dq/dk with
+    block-placed operands. dq needs K in natural [P*N, P*DH] (have it);
+    dk = ds^T q uses a block-placed Q; dv = p^T g uses block-placed G."""
+    dtype = qkv.dtype
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        kbd[...] = jnp.zeros_like(kbd)
+        vbd[...] = jnp.zeros_like(vbd)
+        qbd[...] = jnp.zeros_like(qbd)
+        gbd[...] = jnp.zeros_like(gbd)
+
+    for h0 in range(0, H, P):
+        qs = []
+        for i in range(P):
+            h = h0 + i
+            qh = qkv[0][:, (0 * H + h) * DH:(0 * H + h + 1) * DH]
+            qs.append(qh)
+            qbd[i * N:(i + 1) * N, i * DH:(i + 1) * DH] = qh
+            kbd[i * N:(i + 1) * N, i * DH:(i + 1) * DH] = (
+                qkv[0][:, (1 * H + h) * DH:(1 * H + h + 1) * DH]
+            )
+            vbd[i * N:(i + 1) * N, i * DH:(i + 1) * DH] = (
+                qkv[0][:, (2 * H + h) * DH:(2 * H + h + 1) * DH]
+            )
+            gbd[i * N:(i + 1) * N, i * DH:(i + 1) * DH] = (
+                g[0][:, h * DH:(h + 1) * DH]
+            )
+        qcat = jnp.concatenate(qs, axis=1)                     # [N, P*DH]
+        s = jax.lax.dot_general(
+            qcat, kbd[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * SCALE                                              # [N, P*N]
+        m = jnp.max(s, axis=1, keepdims=True)
+        ph = jnp.exp((s - m).astype(dtype))
+        invs = []
+        for i in range(P):
+            ssum = jnp.sum(
+                ph[:, i * N:(i + 1) * N].astype(jnp.float32), axis=1,
+                keepdims=True,
+            )
+            invs.append(jnp.broadcast_to(1.0 / ssum, (N, N)))
+        invw = jnp.concatenate(invs, axis=1)                   # [N, P*N]
+        p32 = ph.astype(jnp.float32) * invw                    # [N, P*N]
+        # dv: [P*N, P*DH] = p^T(blockwise) g  -> contract rows of p32 with
+        # rows of a [N, P*DH]-wide g built from gbd's diagonal... gbd holds
+        # g block-placed; p32^T @ gcat would mix heads. Use per-output-
+        # block form: dv = dot(p32^T-block, g-block) is NOT packable in one
+        # dot with this placement, so dv/dk go through the [P*N, ...]
+        # block-placed LHS instead:
+        #   dv[iN+m, iDH+d] = sum_n p32[n, iN+m] g[n, iDH'..] — needs
+        # gcat [N, P*DH]: off-diagonal products land in off-diagonal
+        # blocks of the [P*N, P*DH] result and are simply DISCARDED by the
+        # diagonal-block extraction of the store.
+        gcat = jnp.concatenate(
+            [g[0][:, (h0 + i) * DH:(h0 + i + 1) * DH] for i in range(P)],
+            axis=1,
+        )
+        ginv = (gcat.astype(jnp.float32) *
+                jnp.concatenate(
+                    [invs[i][:, :DH] for i in range(P)], axis=1
+                )).astype(dtype)
+        dv_full = jax.lax.dot_general(
+            ph, ginv, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                      # [P*N, P*DH]
+        dp = jax.lax.dot_general(
+            gcat.astype(dtype), vbd[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                      # [N, P*N]
+        row = jnp.zeros((N, 1), jnp.float32)
+        rows = []
+        for i in range(P):
+            rows.append(jnp.sum(
+                dp[:, i * N:(i + 1) * N] * p32[:, i * N:(i + 1) * N],
+                axis=1, keepdims=True,
+            ))
+        roww = jnp.concatenate(
+            [jnp.broadcast_to(r, (N, N)) for r in rows], axis=1
+        )
+        ds = (p32 * (dp - roww) * SCALE).astype(dtype)         # [N, P*N]
+        dq_full = jnp.dot(ds, kbd[...], preferred_element_type=jnp.float32)
+        dk_full = jax.lax.dot_general(
+            ds, qcat, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                      # [P*N, P*DH]
+        for i in range(P):
+            h = h0 + i
+            dqkv[0, :, (0 * H + h) * DH:(0 * H + h + 1) * DH] = (
+                dq_full[:, i * DH:(i + 1) * DH].astype(dtype)
+            )
+            dqkv[0, :, (1 * H + h) * DH:(1 * H + h + 1) * DH] = (
+                dk_full[i * N:(i + 1) * N, i * DH:(i + 1) * DH].astype(dtype)
+            )
+            dqkv[0, :, (2 * H + h) * DH:(2 * H + h + 1) * DH] = (
+                dv_full[i * N:(i + 1) * N, i * DH:(i + 1) * DH].astype(dtype)
+            )
+
+
+# ---------------------------------------------------------------------------
+# masked head-PAIR variants: adjacent heads are contiguous in every qkv
+# layout, so a pair's q/k/v/g load is ONE 2x-wide slice (half the operand
+# copies). Per-head scores use a lane-masked K (S_h = qp . (kp*mask_h)^T —
+# cross-head terms die because mask_h zeroes the other head's channels);
+# outputs merge with full-width selects before ONE 2x-wide store.
+# ---------------------------------------------------------------------------
+
+
+def _pair_masks_std(dtype):
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * DH), 1)
+    m0 = (col < DH).astype(dtype)
+    return m0, (1 - m0)
+
+
+def _pair_masks_octic(d1, de, dtype):
+    # pair column order: a1[h0|h1] a2[h0|h1] b1[..] b2[..] e0[h0|h1] e1[..]
+    # (iota arithmetic — numpy constants would be captured consts)
+    w = 8 * d1 + 4 * de
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    blk = jnp.where(col < 8 * d1, col // d1, (col - 8 * d1) // de)
+    m0 = (blk % 2 == 0).astype(dtype)
+    return m0, (1 - m0)
+
+
+def _pair_attn_fwd(qp, kp, vp, m0, m1, scale, dtype):
+    """Pair-wide fwd: returns merged [N, 2*dh] output."""
+    outs = []
+    for m in (m0, m1):
+        s = jax.lax.dot_general(
+            qp, kp * m, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        ph, inv = _probs_unnormalized(s, dtype)
+        outs.append(jnp.dot(ph, vp, preferred_element_type=jnp.float32) * inv)
+    return outs[0] * m0.astype(jnp.float32) + outs[1] * m1.astype(jnp.float32)
+
+
+def _pair_attn_bwd(qp, kp, vp, gp, m0, m1, scale, dtype):
+    """Pair-wide bwd: returns merged (dq, dk, dv) [N, 2*dh] each."""
+    dqs, dks, dvs = [], [], []
+    for m in (m0, m1):
+        km = kp * m
+        s = jax.lax.dot_general(
+            qp, km, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        ph, inv = _probs_unnormalized(s, dtype)
+        ginv = (gp.astype(jnp.float32) * inv).astype(dtype)
+        dv = jax.lax.dot_general(
+            ph, ginv, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            (gp * m).astype(dtype), vp, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        p32 = ph.astype(jnp.float32) * inv
+        row = jnp.sum(dp * p32, axis=1, keepdims=True)
+        ds = (p32 * (dp - row) * scale).astype(dtype)
+        dq = jnp.dot(ds, km, preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(
+            ds, qp, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dqs.append(dq)
+        dks.append(dk)
+        dvs.append(dv)
+    m0f = m0.astype(jnp.float32)
+    m1f = m1.astype(jnp.float32)
+    return (dqs[0] * m0f + dqs[1] * m1f,
+            dks[0] * m0f + dks[1] * m1f,
+            dvs[0] * m0f + dvs[1] * m1f)
+
+
+def k_std_maskpair_fwd(qkv, o):
+    dtype = qkv.dtype
+    m0, m1 = _pair_masks_std(dtype)
+    for hp in range(H // 2):
+        h = 2 * hp
+        qp = qkv[0][:, (0 * H + h) * DH:(0 * H + h + 2) * DH]
+        kp = qkv[0][:, (1 * H + h) * DH:(1 * H + h + 2) * DH]
+        vp = qkv[0][:, (2 * H + h) * DH:(2 * H + h + 2) * DH]
+        out = _pair_attn_fwd(qp, kp, vp, m0, m1, SCALE, dtype)
+        o[0, :, h * DH:(h + 2) * DH] = out.astype(dtype)
+
+
+def k_std_maskpair_bwd(qkv, g, dqkv):
+    dtype = qkv.dtype
+    m0, m1 = _pair_masks_std(dtype)
+    for hp in range(H // 2):
+        h = 2 * hp
+        qp = qkv[0][:, (0 * H + h) * DH:(0 * H + h + 2) * DH]
+        kp = qkv[0][:, (1 * H + h) * DH:(1 * H + h + 2) * DH]
+        vp = qkv[0][:, (2 * H + h) * DH:(2 * H + h + 2) * DH]
+        gp = g[0][:, h * DH:(h + 2) * DH]
+        dq, dk, dv = _pair_attn_bwd(qp, kp, vp, gp, m0, m1, SCALE, dtype)
+        for s_idx, dmat in ((0, dq), (1, dk), (2, dv)):
+            off = (s_idx * H + h) * DH
+            dqkv[0, :, off:off + 2 * DH] = dmat.astype(dtype)
+
+
+def _octic_pair_slices(refs, hp, num_heads, d1, de, s_idx):
+    a1, a2, b1, b2, e0, e1 = refs
+    h = 2 * hp
+    pieces = []
+    for arr in (a1, a2, b1, b2):
+        off = (s_idx * num_heads + h) * d1
+        pieces.append(arr[0][:, off:off + 2 * d1])
+    off = (s_idx * num_heads + h) * de
+    pieces.append(e0[0][:, off:off + 2 * de])
+    pieces.append(e1[0][:, off:off + 2 * de])
+    return jnp.concatenate(pieces, axis=1)
+
+
+def _quad_masks_octic(d1, de, dtype):
+    w = 16 * d1 + 8 * de
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    blk = jnp.where(col < 16 * d1, col // d1, (col - 16 * d1) // de)
+    return [(blk % 4 == i).astype(dtype) for i in range(4)]
+
+
+def _octic_quad_slices(refs, h, num_heads, d1, de, s_idx):
+    a1, a2, b1, b2, e0, e1 = refs
+    pieces = []
+    for arr in (a1, a2, b1, b2):
+        off = (s_idx * num_heads + h) * d1
+        pieces.append(arr[0][:, off:off + 4 * d1])
+    off = (s_idx * num_heads + h) * de
+    pieces.append(e0[0][:, off:off + 4 * de])
+    pieces.append(e1[0][:, off:off + 4 * de])
+    return jnp.concatenate(pieces, axis=1)
+
+
+def k_octic_maskquad_fwd(a1, a2, b1, b2, e0, e1, o1, o2, o3, o4, oe0, oe1,
+                         *, num_heads, d1, de, scale):
+    dtype = a1.dtype
+    refs = (a1, a2, b1, b2, e0, e1)
+    masks = _quad_masks_octic(d1, de, dtype)
+    for h in range(0, num_heads, 4):
+        qp = _octic_quad_slices(refs, h, num_heads, d1, de, 0)
+        kp = _octic_quad_slices(refs, h, num_heads, d1, de, 1)
+        vp = _octic_quad_slices(refs, h, num_heads, d1, de, 2)
+        acc = None
+        for m in masks:
+            s = jax.lax.dot_general(
+                qp, kp * m, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            ph, inv = _probs_unnormalized(s, dtype)
+            o = jnp.dot(ph, vp, preferred_element_type=jnp.float32) * inv
+            part = o * m.astype(jnp.float32)
+            acc = part if acc is None else acc + part
+        out = acc
+        outs = (o1, o2, o3, o4)
+        for gix in range(4):
+            outs[gix][0, :, h * d1:(h + 4) * d1] = (
+                out[:, 4 * gix * d1:4 * (gix + 1) * d1].astype(dtype)
+            )
+        base = 16 * d1
+        for r, oref in ((0, oe0), (1, oe1)):
+            off = base + r * 4 * de
+            oref[0, :, h * de:(h + 4) * de] = (
+                out[:, off:off + 4 * de].astype(dtype)
+            )
+
+
+def k_octic_maskpair_fwd(a1, a2, b1, b2, e0, e1, o1, o2, o3, o4, oe0, oe1,
+                         *, num_heads, d1, de, scale):
+    dtype = a1.dtype
+    refs = (a1, a2, b1, b2, e0, e1)
+    m0, m1 = _pair_masks_octic(d1, de, dtype)
+    for hp in range(num_heads // 2):
+        h = 2 * hp
+        qp = _octic_pair_slices(refs, hp, num_heads, d1, de, 0)
+        kp = _octic_pair_slices(refs, hp, num_heads, d1, de, 1)
+        vp = _octic_pair_slices(refs, hp, num_heads, d1, de, 2)
+        out = _pair_attn_fwd(qp, kp, vp, m0, m1, scale, dtype)
+        outs = (o1, o2, o3, o4)
+        for gix in range(4):
+            outs[gix][0, :, h * d1:(h + 2) * d1] = (
+                out[:, 2 * gix * d1:2 * (gix + 1) * d1].astype(dtype)
+            )
+        base = 8 * d1
+        for r, oref in ((0, oe0), (1, oe1)):
+            off = base + r * 2 * de
+            oref[0, :, h * de:(h + 2) * de] = (
+                out[:, off:off + 2 * de].astype(dtype)
+            )
+
+
+def k_octic_maskpair_bwd(a1, a2, b1, b2, e0, e1, g1, g2, g3, g4, ge0, ge1,
+                         da1, da2, db1, db2, de0_, de1_,
+                         *, num_heads, d1, de, scale):
+    dtype = a1.dtype
+    refs = (a1, a2, b1, b2, e0, e1)
+    m0, m1 = _pair_masks_octic(d1, de, dtype)
+    for hp in range(num_heads // 2):
+        h = 2 * hp
+        qp = _octic_pair_slices(refs, hp, num_heads, d1, de, 0)
+        kp = _octic_pair_slices(refs, hp, num_heads, d1, de, 1)
+        vp = _octic_pair_slices(refs, hp, num_heads, d1, de, 2)
+        g_pieces = []
+        for arr in (g1, g2, g3, g4):
+            g_pieces.append(arr[0][:, h * d1:(h + 2) * d1])
+        for arr in (ge0, ge1):
+            g_pieces.append(arr[0][:, h * de:(h + 2) * de])
+        gp = jnp.concatenate(g_pieces, axis=1)
+        dq, dk, dv = _pair_attn_bwd(qp, kp, vp, gp, m0, m1, scale, dtype)
+        for s_idx, dmat in ((0, dq), (1, dk), (2, dv)):
+            for gix, arr in enumerate((da1, da2, db1, db2)):
+                off = (s_idx * num_heads + h) * d1
+                arr[0, :, off:off + 2 * d1] = (
+                    dmat[:, 2 * gix * d1:2 * (gix + 1) * d1].astype(dtype)
+                )
+            base = 8 * d1
+            for r, arr in ((0, de0_), (1, de1_)):
+                off = (s_idx * num_heads + h) * de
+                arr[0, :, off:off + 2 * de] = (
+                    dmat[:, base + r * 2 * de:base + (r + 1) * 2 * de]
+                    .astype(dtype)
+                )
+
+
+# ---------------------------------------------------------------------------
+# harness
+# ---------------------------------------------------------------------------
+
+
+def octic_args(key, b=B):
+    ks = jax.random.split(key, 12)
+    mk = lambda k, w: (jax.random.normal(k, (b, N, w)) * 0.02).astype(DT)
+    ins = [mk(ks[i], 3 * C8) for i in range(4)] + [
+        mk(ks[4], 3 * 2 * C8), mk(ks[5], 3 * 2 * C8)]
+    gs = [mk(ks[6 + i], C8) for i in range(4)] + [
+        mk(ks[10], 2 * C8), mk(ks[11], 2 * C8)]
+    return ins, gs
+
+
+def call_octic_bwd(ins, gs):
+    kwargs = dict(num_heads=H, d1=D1, de=DE, scale=SCALE)
+    shapes = tuple(jax.ShapeDtypeStruct(x.shape, x.dtype) for x in ins)
+    args = tuple(ins) + tuple(gs)
+    in_specs = [pl.BlockSpec((1,) + a.shape[1:], lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM) for a in args]
+    out_specs = tuple(pl.BlockSpec((1,) + s.shape[1:], lambda b: (b, 0, 0),
+                                   memory_space=pltpu.VMEM) for s in shapes)
+    return pl.pallas_call(
+        functools.partial(_octic_bwd_kernel, **kwargs), grid=(ins[0].shape[0],),
+        in_specs=in_specs, out_specs=out_specs,
+        out_shape=tuple(jax.ShapeDtypeStruct(s.shape, s.dtype)
+                        for s in shapes),
+        interpret=INTERP,
+    )(*args)
+
+
+def call_octic_bwd_widestore(ins, gs):
+    kwargs = dict(num_heads=H, d1=D1, de=DE, scale=SCALE)
+    args = tuple(ins) + tuple(gs)
+    in_specs = [pl.BlockSpec((1,) + a.shape[1:], lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM) for a in args]
+    shape = jax.ShapeDtypeStruct((ins[0].shape[0], N, 3 * C), DT)
+    return pl.pallas_call(
+        functools.partial(k_octic_bwd_widestore, **kwargs), grid=(ins[0].shape[0],),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, N, 3 * C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=shape, interpret=INTERP,
+    )(*args)
+
+
+def call_octic_bwd_wideg(ins, gw):
+    kwargs = dict(num_heads=H, d1=D1, de=DE, scale=SCALE)
+    shapes = tuple(jax.ShapeDtypeStruct(x.shape, x.dtype) for x in ins)
+    args = tuple(ins) + (gw,)
+    in_specs = [pl.BlockSpec((1,) + a.shape[1:], lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM) for a in args]
+    out_specs = tuple(pl.BlockSpec((1,) + s.shape[1:], lambda b: (b, 0, 0),
+                                   memory_space=pltpu.VMEM) for s in shapes)
+    return pl.pallas_call(
+        functools.partial(k_octic_bwd_wideg, **kwargs), grid=(ins[0].shape[0],),
+        in_specs=in_specs, out_specs=out_specs,
+        out_shape=tuple(jax.ShapeDtypeStruct(s.shape, s.dtype)
+                        for s in shapes),
+        interpret=INTERP,
+    )(*args)
+
+
+def call_std_bwd(qkv, g):
+    kwargs = dict(num_heads=H, dh=DH, scale=SCALE)
+    return pl.pallas_call(
+        functools.partial(_std_bwd_kernel, **kwargs), grid=(qkv.shape[0],),
+        in_specs=[
+            pl.BlockSpec((1, N, 3 * C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, N, 3 * C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((qkv.shape[0], N, 3 * C), DT),
+        interpret=INTERP,
+    )(qkv, g)
+
+
+def call_std_pack_fwd(qkv, P):
+    return pl.pallas_call(
+        functools.partial(k_std_pack_fwd, P=P), grid=(qkv.shape[0],),
+        in_specs=[pl.BlockSpec((1, N, 3 * C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((qkv.shape[0], N, C), DT),
+        scratch_shapes=[pltpu.VMEM((P * N, P * DH), DT),
+                        pltpu.VMEM((P * N, P * DH), DT)],
+        interpret=INTERP,
+    )(qkv)
+
+
+def call_std_fwd_loop(qkv):
+    return pl.pallas_call(
+        k_std_fwd_loop, grid=(qkv.shape[0],),
+        in_specs=[pl.BlockSpec((1, N, 3 * C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((qkv.shape[0], N, C), DT),
+        interpret=INTERP,
+    )(qkv)
+
+
+def call_std_pack_bwd(qkv, g, P):
+    return pl.pallas_call(
+        functools.partial(k_std_pack_bwd, P=P), grid=(qkv.shape[0],),
+        in_specs=[
+            pl.BlockSpec((1, N, 3 * C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, N, 3 * C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((qkv.shape[0], N, 3 * C), DT),
+        scratch_shapes=[pltpu.VMEM((P * N, P * DH), DT)
+                        for _ in range(4)],
+        interpret=INTERP,
+    )(qkv, g)
+
+
+def call_std_maskpair_fwd(qkv):
+    return pl.pallas_call(
+        k_std_maskpair_fwd, grid=(qkv.shape[0],),
+        in_specs=[pl.BlockSpec((1, N, 3 * C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((qkv.shape[0], N, C), DT),
+        interpret=INTERP,
+    )(qkv)
+
+
+def call_std_maskpair_bwd(qkv, g):
+    return pl.pallas_call(
+        k_std_maskpair_bwd, grid=(qkv.shape[0],),
+        in_specs=[
+            pl.BlockSpec((1, N, 3 * C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, N, 3 * C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((qkv.shape[0], N, 3 * C), DT),
+        interpret=INTERP,
+    )(qkv, g)
+
+
+def _octic_shapes(b):
+    return (
+        *(jax.ShapeDtypeStruct((b, N, C8), DT) for _ in range(4)),
+        jax.ShapeDtypeStruct((b, N, 2 * C8), DT),
+        jax.ShapeDtypeStruct((b, N, 2 * C8), DT),
+    )
+
+
+def _call_octic_generic(kernel, ins_and_gs, out_shapes):
+    kwargs = dict(num_heads=H, d1=D1, de=DE, scale=SCALE)
+    args = tuple(ins_and_gs)
+    in_specs = [pl.BlockSpec((1,) + a.shape[1:], lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM) for a in args]
+    out_specs = tuple(pl.BlockSpec((1,) + s.shape[1:], lambda b: (b, 0, 0),
+                                   memory_space=pltpu.VMEM)
+                      for s in out_shapes)
+    return pl.pallas_call(
+        functools.partial(kernel, **kwargs), grid=(args[0].shape[0],),
+        in_specs=in_specs, out_specs=out_specs,
+        out_shape=tuple(out_shapes), interpret=INTERP,
+    )(*args)
+
+
+def call_octic_fwd(ins, kernel=None):
+    from octic_vits_tpu.ops.pallas_attention import _octic_fwd_kernel
+
+    return _call_octic_generic(kernel or _octic_fwd_kernel, ins,
+                               _octic_shapes(ins[0].shape[0]))
+
+
+def call_octic_maskpair_bwd(ins, gs):
+    out_shapes = tuple(jax.ShapeDtypeStruct(x.shape, x.dtype) for x in ins)
+    return _call_octic_generic(k_octic_maskpair_bwd, tuple(ins) + tuple(gs),
+                               out_shapes)
+
+
+def bench(name, fn, args, feedback_idx=0):
+    x = jnp.zeros((), DT)
+
+    def run(params, xx):
+        # feedback rides ONLY one operand (ideally the smallest); the rest
+        # stay raw params — a fusion-output operand adds its whole block to
+        # the kernel's scoped-vmem stack (measured: std bwd 16.53M > 16M
+        # with the qkv operand fused, fits with it raw)
+        parts = list(params)
+        i = feedback_idx
+        parts[i] = parts[i] + xx * jnp.asarray(1e-30, parts[i].dtype)
+        outs = fn(*parts)
+        if isinstance(outs, (tuple, list)):
+            return jnp.stack([jnp.max(o) for o in outs])
+        return jnp.max(outs)
+
+    step = measure_steps(run, tuple(args), x, k1=2, k2=22)
+    print(f"{name:36s} {step*1e6:9.1f} us", flush=True)
+    return step
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    ins, gs = octic_args(key)
+    qkv = (jax.random.normal(jax.random.PRNGKey(1), (B, N, 3 * C)) * 0.02
+           ).astype(DT)
+    g = (jax.random.normal(jax.random.PRNGKey(2), (B, N, C)) * 0.02
+         ).astype(DT)
+    gw = (jax.random.normal(jax.random.PRNGKey(3), (B, N, C)) * 0.02
+          ).astype(DT)
+
+    def maxerr(a, b):
+        if isinstance(a, (tuple, list)):
+            return max(maxerr(x, y) for x, y in zip(a, b))
+        return float(jnp.max(jnp.abs(a.astype(jnp.float32) -
+                                     b.astype(jnp.float32))))
+
+    # numerics: packed/maskpair fwd+bwd match the loop kernels
+    ref = call_std_fwd_loop(qkv[:2])
+    for P in (2, 4):
+        err = maxerr(ref, call_std_pack_fwd(qkv[:2], P))
+        print(f"pack{P} fwd max err vs loop: {err:.5f}", flush=True)
+        assert err < 2e-2, err
+    err = maxerr(ref, call_std_maskpair_fwd(qkv[:2]))
+    print(f"maskpair std fwd max err: {err:.5f}", flush=True)
+    assert err < 2e-2, err
+    refb = call_std_bwd(qkv[:2], g[:2])
+    for P in (2, 4):
+        err = maxerr(refb, call_std_pack_bwd(qkv[:2], g[:2], P))
+        print(f"pack{P} bwd max err vs loop: {err:.5f}", flush=True)
+        assert err < 2e-2, err
+    err = maxerr(refb, call_std_maskpair_bwd(qkv[:2], g[:2]))
+    print(f"maskpair std bwd max err: {err:.5f}", flush=True)
+    assert err < 2e-2, err
+    ins2 = [x[:2] for x in ins]
+    gs2 = [x[:2] for x in gs]
+    refo = call_octic_fwd(ins2)
+    err = maxerr(list(refo), list(call_octic_fwd(
+        ins2, kernel=k_octic_maskpair_fwd)))
+    print(f"maskpair octic fwd max err: {err:.5f}", flush=True)
+    assert err < 2e-2, err
+    refob = call_octic_bwd(ins2, gs2)
+    err = maxerr(list(refob), list(call_octic_maskpair_bwd(ins2, gs2)))
+    print(f"maskpair octic bwd max err: {err:.5f}", flush=True)
+    assert err < 2e-2, err
+    err = maxerr(list(refo), list(call_octic_fwd(
+        ins2, kernel=k_octic_maskquad_fwd)))
+    print(f"maskquad octic fwd max err: {err:.5f}", flush=True)
+    assert err < 2e-2, err
+    if "--check-only" in sys.argv:
+        return
+
+    # bwd benches run at B=32 (std bwd kernel's scoped VMEM OOMs at B=64,
+    # matching the training batch anyway)
+    B32 = 32
+    ins32, gs32 = octic_args(key, b=B32)
+    qkv32, g32, gw32 = qkv[:B32], g[:B32], gw[:B32]
+
+    bench("std fwd loop (current)", lambda q: call_std_fwd_loop(q), (qkv,))
+    for P in (2, 4):
+        bench(f"std fwd pack{P}",
+              functools.partial(call_std_pack_fwd, P=P), (qkv,))
+    bench("std fwd maskpair", call_std_maskpair_fwd, (qkv,))
+    bench("octic fwd (current)",
+          lambda *a: call_octic_fwd(a), tuple(ins))
+    bench("octic fwd maskpair",
+          lambda *a: call_octic_fwd(a, kernel=k_octic_maskpair_fwd),
+          tuple(ins))
+    bench("octic fwd maskquad",
+          lambda *a: call_octic_fwd(a, kernel=k_octic_maskquad_fwd),
+          tuple(ins))
+    bench("std bwd (current, B=32)", call_std_bwd, (qkv32, g32),
+          feedback_idx=1)
+    for P in (2, 4):
+        bench(f"std bwd pack{P} (B=32)",
+              functools.partial(call_std_pack_bwd, P=P), (qkv32, g32),
+              feedback_idx=1)
+    bench("std bwd maskpair (B=32)", call_std_maskpair_bwd, (qkv32, g32),
+          feedback_idx=1)
+    bench("octic bwd (current, B=32)",
+          lambda *a: call_octic_bwd(a[:6], a[6:]),
+          tuple(ins32) + tuple(gs32), feedback_idx=6)
+    bench("octic bwd wide-store (B=32)",
+          lambda *a: call_octic_bwd_widestore(a[:6], a[6:]),
+          tuple(ins32) + tuple(gs32), feedback_idx=6)
+    bench("octic bwd wide-g (B=32)",
+          lambda *a: call_octic_bwd_wideg(a[:6], a[6]),
+          tuple(ins32) + (gw32,), feedback_idx=6)
+    bench("octic bwd maskpair (B=32)",
+          lambda *a: call_octic_maskpair_bwd(a[:6], a[6:]),
+          tuple(ins32) + tuple(gs32), feedback_idx=6)
+
+
+if __name__ == "__main__":
+    main()
