@@ -49,7 +49,7 @@ def _child(which: str) -> None:
         model = OcticVisionTransformer(
             use_pallas_attention=on_tpu, use_pallas_linear=on_tpu,
             use_pallas_std_mlp=on_tpu, flat_e_carry=True,
-            fuse_mlp=on_tpu, **common
+            fuse_mlp=on_tpu, fuse_qkv=on_tpu, **common
         )
     else:
         # the baseline gets the same generic fused kernels —

@@ -628,6 +628,10 @@ class AttentionD8(nn.Module):
     # head as a single 4*d1-wide slice instead of four d1-wide ones
     # (the measured ~0.6 ms/block assembly tax). Parameter tree unchanged.
     use_wide_qkv: bool = False
+    # run the qkv LinearD8 INSIDE the attention kernel (weights are VMEM-
+    # resident; the [B,N,3C] qkv never touches HBM). Requires the flat-E
+    # container and use_pallas_attention; parameter tree unchanged.
+    fuse_qkv: bool = False
     dtype: Any = None
     param_dtype: Any = jnp.float32
 
@@ -721,6 +725,45 @@ class AttentionD8(nn.Module):
                 oe = jnp.concatenate((oe0, oe1), axis=-1)
             else:
                 oe = jnp.stack((oe0, oe1), axis=2)
+            ys = LinearD8(
+                c, use_bias=self.proj_bias,
+                use_pallas=layerscale is not None, name="proj", **common,
+            )(
+                (o1, o2, o3, o4, oe),
+                layerscale=layerscale, residual=residual,
+            )
+            return DropoutD8(self.proj_drop)(ys, deterministic)
+
+        if (
+            self.fuse_qkv
+            and self.use_pallas_attention
+            and flat_e
+            and not (self.attn_drop > 0.0 and not deterministic)
+        ):
+            from octic_vits_tpu.ops.pallas_attention import (
+                octic_attention_fused_qkv,
+            )
+
+            dt = self.dtype or xs[0].dtype
+            # materialize the qkv params with a dummy call (dead compute,
+            # DCE'd) so the tree matches the non-fused path exactly
+            dummy = tuple(
+                jnp.zeros((1, 1, c8), xs[0].dtype) for _ in range(4)
+            ) + (jnp.zeros((1, 1, 2, 2 * c8), xs[0].dtype),)
+            qkv_mod(dummy)
+            p = self.get_variable("params", "qkv")
+            o1, o2, o3, o4, oe0, oe1 = octic_attention_fused_qkv(
+                xs[0].astype(dt), xs[1].astype(dt), xs[2].astype(dt),
+                xs[3].astype(dt), xs[4].astype(dt),
+                p["kernel_1d"].astype(dt), p["kernel_e"].astype(dt),
+                p["bias_a1"].astype(dt) if self.qkv_bias else None,
+                h,
+            )
+            o1, o2, o3, o4, oe0, oe1 = (
+                _checkpoint_name(t, "attn_out")
+                for t in (o1, o2, o3, o4, oe0, oe1)
+            )
+            oe = jnp.concatenate((oe0, oe1), axis=-1)
             ys = LinearD8(
                 c, use_bias=self.proj_bias,
                 use_pallas=layerscale is not None, name="proj", **common,
@@ -850,6 +893,7 @@ class BlockD8(nn.Module):
     use_pallas_linear: bool = False
     use_pallas_attention: bool = False
     use_wide_qkv: bool = False  # see AttentionD8.use_wide_qkv
+    fuse_qkv: bool = False      # see AttentionD8.fuse_qkv
     # Fold ls*y + residual into the proj/fc2 kernel epilogues. Measured a
     # net LOSS on v5e (the epilogue routes proj through the pallas linear,
     # which is slower than XLA's batched dot for C->C shapes, and re-DMAs
@@ -920,6 +964,7 @@ class BlockD8(nn.Module):
             proj_drop=self.drop,
             use_pallas_attention=self.use_pallas_attention,
             use_wide_qkv=self.use_wide_qkv,
+            fuse_qkv=self.fuse_qkv,
             name="attn",
             **common,
         )

@@ -70,6 +70,9 @@ class OcticVisionTransformer(nn.Module):
     use_pallas_attention: bool = False
     use_pallas_std_mlp: bool = False
     use_wide_qkv: bool = False  # wide-1d octic attention qkv (AttentionD8)
+    # run the octic qkv INSIDE the attention kernel (weights VMEM-resident,
+    # [B,N,3C] qkv never hits HBM). Requires flat_e_carry. See AttentionD8.
+    fuse_qkv: bool = False
     fuse_mlp_branch: bool = False
     # single-kernel fc1+GELU+fc2 for the octic MLP (hidden stays in VMEM)
     fuse_mlp: bool = False
@@ -147,6 +150,7 @@ class OcticVisionTransformer(nn.Module):
             use_pallas_linear=self.use_pallas_linear,
             use_pallas_attention=self.use_pallas_attention,
             use_wide_qkv=self.use_wide_qkv,
+            fuse_qkv=self.fuse_qkv,
             fuse_mlp_branch=self.fuse_mlp_branch,
             fuse_mlp=self.fuse_mlp,
             fuse_block_epilogues=self.fuse_block_epilogues,

@@ -390,6 +390,226 @@ octic_attention.defvjp(_octic_fwd_rule, _octic_bwd_rule)
 
 
 # ---------------------------------------------------------------------------
+# fused qkv+attention: the block-diagonal qkv weights are tiny (~1.2 MB at
+# ViT-H vs 9.8 MB for the dense standard qkv — VMEM-resident only for the
+# octic half), so the qkv matmuls run INSIDE the attention kernel and the
+# [B, N, 3C] qkv tensor never touches HBM (126 MB write + 126 MB read per
+# block at ViT-H B=64). Measured: qkv(XLA)+attn 1390 us -> fused 1076 us
+# per block (B=64); extending the fusion through the proj measured WORSE
+# (1186 vs 1106 — XLA pipelines the proj with the next block), so proj
+# stays in XLA. The backward recomputes qkv via the same XLA dots and
+# chains the existing attention-bwd kernel with the linear transpose —
+# identical cost to the unfused training path, which training keeps.
+# ---------------------------------------------------------------------------
+
+
+def _pair_slices_vals(vals, h, num_heads, d1, de, s_idx):
+    """Head-pair channel slices of COMPUTED qkv values (arrays, not refs)."""
+    qa1, qa2, qb1, qb2, r0, r1 = vals
+    pieces = []
+    for arr in (qa1, qa2, qb1, qb2):
+        off = (s_idx * num_heads + h) * d1
+        pieces.append(arr[:, off : off + 2 * d1])
+    off = (s_idx * num_heads + h) * de
+    pieces.append(r0[:, off : off + 2 * de])
+    pieces.append(r1[:, off : off + 2 * de])
+    return jnp.concatenate(pieces, axis=1)
+
+
+def _head_slices_vals(vals, h, num_heads, d1, de, s_idx):
+    qa1, qa2, qb1, qb2, r0, r1 = vals
+    pieces = []
+    for arr in (qa1, qa2, qb1, qb2):
+        off = (s_idx * num_heads + h) * d1
+        pieces.append(arr[:, off : off + d1])
+    off = (s_idx * num_heads + h) * de
+    pieces.append(r0[:, off : off + de])
+    pieces.append(r1[:, off : off + de])
+    return jnp.concatenate(pieces, axis=1)
+
+
+def _octic_qkv_attn_kernel(a1, a2, b1, b2, ef, w1, we, bias,
+                           o1, o2, o3, o4, oe0, oe1,
+                           *, num_heads, d1, de, scale, use_bias):
+    dtype = a1.dtype
+    c8 = a1.shape[-1]
+
+    def mm(x, w):
+        return jax.lax.dot_general(
+            x, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype)
+
+    qa1 = mm(a1[0], w1[0])
+    if use_bias:
+        qa1 = qa1 + bias[...].astype(dtype)
+    qa2 = mm(a2[0], w1[1])
+    qb1 = mm(b1[0], w1[2])
+    qb2 = mm(b2[0], w1[3])
+    r0 = mm(ef[0][:, : 2 * c8], we[...])
+    r1 = mm(ef[0][:, 2 * c8 :], we[...])
+    vals = (qa1, qa2, qb1, qb2, r0, r1)
+
+    outs = (o1, o2, o3, o4)
+    m0, m1 = _octic_pair_masks(d1, de, dtype)
+    for h in range(0, num_heads - 1, 2):
+        qp = _pair_slices_vals(vals, h, num_heads, d1, de, 0)
+        kp = _pair_slices_vals(vals, h, num_heads, d1, de, 1)
+        vp = _pair_slices_vals(vals, h, num_heads, d1, de, 2)
+        out = _pair_attn_fwd(qp, kp, vp, m0, m1, scale, dtype)
+        for g in range(4):
+            outs[g][0, :, h * d1 : (h + 2) * d1] = (
+                out[:, 2 * g * d1 : 2 * (g + 1) * d1].astype(dtype)
+            )
+        base = 8 * d1
+        for r, oref in ((0, oe0), (1, oe1)):
+            off = base + r * 2 * de
+            oref[0, :, h * de : (h + 2) * de] = (
+                out[:, off : off + 2 * de].astype(dtype)
+            )
+    if num_heads % 2:
+        h = num_heads - 1
+        q = _head_slices_vals(vals, h, num_heads, d1, de, 0)
+        k = _head_slices_vals(vals, h, num_heads, d1, de, 1)
+        v = _head_slices_vals(vals, h, num_heads, d1, de, 2)
+        out = _attn_head(q, k, v, scale, dtype)
+        for g in range(4):
+            outs[g][0, :, h * d1 : (h + 1) * d1] = (
+                out[:, g * d1 : (g + 1) * d1].astype(dtype)
+            )
+        for r, oref in ((0, oe0), (1, oe1)):
+            off = 4 * d1 + r * de
+            oref[0, :, h * de : (h + 1) * de] = (
+                out[:, off : off + de].astype(dtype)
+            )
+
+
+def _fused_qkv_eager(a1, a2, b1, b2, ef, w1, we, bias):
+    """The qkv linear exactly as LinearD8's XLA path (flat-E)."""
+    dt = a1.dtype
+    c8 = a1.shape[-1]
+    ones = jnp.stack((a1, a2, b1, b2), axis=0)
+    out1 = jax.lax.dot_general(
+        ones, w1, (((3,), (1,)), ((0,), (0,))), preferred_element_type=dt
+    )
+    qa1 = out1[0]
+    if bias is not None:
+        qa1 = qa1 + bias.astype(dt)
+    e0 = jnp.dot(ef[..., : 2 * c8], we, preferred_element_type=dt)
+    e1 = jnp.dot(ef[..., 2 * c8 :], we, preferred_element_type=dt)
+    return qa1, out1[1], out1[2], out1[3], e0, e1
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def octic_attention_fused_qkv(a1, a2, b1, b2, ef, w1, we, bias,
+                              num_heads: int,
+                              interpret: Optional[bool] = None):
+    """x-tuple (flat-E) + qkv weights -> attention outputs.
+
+    a1..b2: [B, N, C/8]; ef: [B, N, C/2] flat E [row0|row1];
+    w1 [4, C/8, 3C/8], we [C/4, 3C/2], bias [3C/8] or None (A1 only).
+    Returns (o1..o4 [B,N,C/8], oe0, oe1 [B,N,C/4]) — identical to
+    octic_attention(LinearD8_qkv(x))."""
+    return _fused_fwd(a1, a2, b1, b2, ef, w1, we, bias, num_heads, interpret)
+
+
+def _fused_fwd(a1, a2, b1, b2, ef, w1, we, bias, num_heads, interpret):
+    b, n, c8 = a1.shape
+    c = 8 * c8
+    d1 = c8 // num_heads
+    de = 2 * c8 // num_heads
+    scale = (c // num_heads) ** -0.5
+    use_bias = bias is not None
+    bias2d = (jnp.zeros((1, 3 * c8), a1.dtype) if bias is None
+              else bias.reshape(1, 3 * c8))
+    in_specs = [
+        pl.BlockSpec((1, n, c8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        for _ in range(4)
+    ] + [
+        pl.BlockSpec((1, n, 4 * c8), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, c8, 3 * c8), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2 * c8, 6 * c8), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3 * c8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    shapes = (
+        *(jax.ShapeDtypeStruct((b, n, c8), a1.dtype) for _ in range(4)),
+        jax.ShapeDtypeStruct((b, n, 2 * c8), a1.dtype),
+        jax.ShapeDtypeStruct((b, n, 2 * c8), a1.dtype),
+    )
+    out_specs = tuple(
+        pl.BlockSpec((1,) + s.shape[1:], lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for s in shapes
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _octic_qkv_attn_kernel, num_heads=num_heads, d1=d1, de=de,
+            scale=scale, use_bias=use_bias,
+        ),
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=tuple(shapes),
+        interpret=_auto_interpret(interpret),
+    )(a1, a2, b1, b2, ef, w1, we, bias2d)
+
+
+def _fused_fwd_rule(a1, a2, b1, b2, ef, w1, we, bias, num_heads, interpret):
+    out = _fused_fwd(a1, a2, b1, b2, ef, w1, we, bias, num_heads, interpret)
+    return out, (a1, a2, b1, b2, ef, w1, we, bias)
+
+
+def _fused_bwd_rule(num_heads, interpret, res, cots):
+    a1, a2, b1, b2, ef, w1, we, bias = res
+    c8 = a1.shape[-1]
+    # recompute qkv (same math as the in-kernel dots), then the existing
+    # attention-bwd kernel, then the linear transpose
+    qkv = _fused_qkv_eager(a1, a2, b1, b2, ef, w1, we, bias)
+    dq = _octic_bwd_rule(num_heads, interpret, qkv, cots)
+    dqa1, dqa2, dqb1, dqb2, dr0, dr1 = dq
+    f32 = jnp.float32
+    dt = a1.dtype
+    dstack = jnp.stack((dqa1, dqa2, dqb1, dqb2), axis=0)  # [4,B,N,3c8]
+    # dx_g = dqkv_g @ w1[g]^T  (contract the feature dim)
+    dx = jax.lax.dot_general(
+        dstack, w1, (((3,), (2,)), ((0,), (0,))), preferred_element_type=f32
+    ).astype(dt)
+    xstack = jnp.stack((a1, a2, b1, b2), axis=0)
+    # dw1[g] = x_g^T dqkv_g  (contract batch and token dims)
+    dw1 = jax.lax.dot_general(
+        xstack, dstack, (((1, 2), (1, 2)), ((0,), (0,))),
+        preferred_element_type=f32,
+    ).astype(w1.dtype)
+    dbias = (None if bias is None
+             else jnp.sum(dqa1, axis=(0, 1), dtype=f32).astype(bias.dtype))
+    # E rows share the weight
+    def_ = jnp.concatenate(
+        (
+            jax.lax.dot_general(dr0, we, (((2,), (1,)), ((), ())),
+                                preferred_element_type=f32),
+            jax.lax.dot_general(dr1, we, (((2,), (1,)), ((), ())),
+                                preferred_element_type=f32),
+        ),
+        axis=-1,
+    ).astype(dt)
+    e_r0 = ef[..., : 2 * c8]
+    e_r1 = ef[..., 2 * c8 :]
+    dwe = (
+        jax.lax.dot_general(e_r0, dr0, (((0, 1), (0, 1)), ((), ())),
+                            preferred_element_type=f32)
+        + jax.lax.dot_general(e_r1, dr1, (((0, 1), (0, 1)), ((), ())),
+                              preferred_element_type=f32)
+    ).astype(we.dtype)
+    return (dx[0], dx[1], dx[2], dx[3], def_, dw1, dwe, dbias)
+
+
+octic_attention_fused_qkv.defvjp(_fused_fwd_rule, _fused_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
 # octic wide-1d variant: the four 1-dim irreps' qkv arrive as THREE
 # [B, N, 4*C/8] arrays (q1d, k1d, v1d) whose columns are (head, irrep, d1)
 # interleaved — produced by a column-permuted block-diagonal qkv matmul

@@ -80,6 +80,7 @@ if which in ("all", "hybrid"):
         use_pallas_std_mlp=True, use_wide_qkv="--wide" in sys.argv,
         flat_e_carry="--no-flat" not in sys.argv,
         fuse_mlp="--fusemlp" in sys.argv,
+        fuse_qkv="--fuseqkv" in sys.argv,
         **common))
 if which in ("all", "std"):
     s = run("standard(kernels)", VisionTransformer(

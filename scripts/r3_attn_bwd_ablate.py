@@ -489,6 +489,203 @@ def k_octic_maskpair_bwd(a1, a2, b1, b2, e0, e1, g1, g2, g3, g4, ge0, ge1,
 
 
 # ---------------------------------------------------------------------------
+# fused qkv+attention: the octic qkv weights are tiny (~1.2 MB, vs 9.8 MB
+# dense std — VMEM-resident only for the octic half), so the qkv matmuls
+# can run INSIDE the attention kernel and the [B,N,3C] qkv tensor never
+# touches HBM (126 MB write + 126 MB read per block at ViT-H B=64).
+# ---------------------------------------------------------------------------
+
+
+def _pair_slices_vals(vals, h, num_heads, d1, de, s_idx):
+    """Pair-slices of COMPUTED qkv values (arrays, not refs)."""
+    qa1, qa2, qb1, qb2, r0, r1 = vals
+    pieces = []
+    for arr in (qa1, qa2, qb1, qb2):
+        off = (s_idx * num_heads + h) * d1
+        pieces.append(arr[:, off:off + 2 * d1])
+    off = (s_idx * num_heads + h) * de
+    pieces.append(r0[:, off:off + 2 * de])
+    pieces.append(r1[:, off:off + 2 * de])
+    return jnp.concatenate(pieces, axis=1)
+
+
+def k_octic_qkvattn_fwd(a1, a2, b1, b2, ef, w1, we, bias,
+                        o1, o2, o3, o4, oe0, oe1,
+                        *, num_heads, d1, de, scale):
+    dtype = a1.dtype
+    c8 = a1.shape[-1]
+
+    def mm(x, w):
+        return jax.lax.dot_general(
+            x, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype)
+
+    qa1 = mm(a1[0], w1[0]) + bias[...].astype(dtype)
+    qa2 = mm(a2[0], w1[1])
+    qb1 = mm(b1[0], w1[2])
+    qb2 = mm(b2[0], w1[3])
+    r0 = mm(ef[0][:, :2 * c8], we[...])
+    r1 = mm(ef[0][:, 2 * c8:], we[...])
+    vals = (qa1, qa2, qb1, qb2, r0, r1)
+
+    m0, m1 = _pair_masks_octic(d1, de, dtype)
+    outs = (o1, o2, o3, o4)
+    for h in range(0, num_heads - 1, 2):
+        qp = _pair_slices_vals(vals, h, num_heads, d1, de, 0)
+        kp = _pair_slices_vals(vals, h, num_heads, d1, de, 1)
+        vp = _pair_slices_vals(vals, h, num_heads, d1, de, 2)
+        out = _pair_attn_fwd(qp, kp, vp, m0, m1, scale, dtype)
+        for gix in range(4):
+            outs[gix][0, :, h * d1:(h + 2) * d1] = (
+                out[:, 2 * gix * d1:2 * (gix + 1) * d1].astype(dtype)
+            )
+        base = 8 * d1
+        for r, oref in ((0, oe0), (1, oe1)):
+            off = base + r * 2 * de
+            oref[0, :, h * de:(h + 2) * de] = (
+                out[:, off:off + 2 * de].astype(dtype)
+            )
+
+
+def k_octic_qkvattnproj_fwd(a1, a2, b1, b2, ef, w1, we, bias,
+                            w1p, wep, biasp,
+                            o1, o2, o3, o4, oef,
+                            *, num_heads, d1, de, scale):
+    """qkv linear + maskpair attention + PROJ linear in one kernel: the
+    [B,N,3C] qkv and [B,N,C] attention-out tensors never touch HBM."""
+    dtype = a1.dtype
+    c8 = a1.shape[-1]
+
+    def mm(x, w):
+        return jax.lax.dot_general(
+            x, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype)
+
+    qa1 = mm(a1[0], w1[0]) + bias[...].astype(dtype)
+    qa2 = mm(a2[0], w1[1])
+    qb1 = mm(b1[0], w1[2])
+    qb2 = mm(b2[0], w1[3])
+    r0 = mm(ef[0][:, :2 * c8], we[...])
+    r1 = mm(ef[0][:, 2 * c8:], we[...])
+    vals = (qa1, qa2, qb1, qb2, r0, r1)
+
+    m0, m1 = _pair_masks_octic(d1, de, dtype)
+    pieces = [[] for _ in range(6)]  # a1 a2 b1 b2 e-row0 e-row1 columns
+    for h in range(0, num_heads - 1, 2):
+        qp = _pair_slices_vals(vals, h, num_heads, d1, de, 0)
+        kp = _pair_slices_vals(vals, h, num_heads, d1, de, 1)
+        vp = _pair_slices_vals(vals, h, num_heads, d1, de, 2)
+        out = _pair_attn_fwd(qp, kp, vp, m0, m1, scale, dtype).astype(dtype)
+        for gix in range(4):
+            pieces[gix].append(out[:, 2 * gix * d1:2 * (gix + 1) * d1])
+        base = 8 * d1
+        pieces[4].append(out[:, base:base + 2 * de])
+        pieces[5].append(out[:, base + 2 * de:base + 4 * de])
+    full = [jnp.concatenate(p, axis=1) for p in pieces]
+    o1[0] = (mm(full[0], w1p[0]) + biasp[...].astype(dtype)).astype(dtype)
+    o2[0] = mm(full[1], w1p[1]).astype(dtype)
+    o3[0] = mm(full[2], w1p[2]).astype(dtype)
+    o4[0] = mm(full[3], w1p[3]).astype(dtype)
+    oef[0, :, :2 * c8] = mm(full[4], wep[...]).astype(dtype)
+    oef[0, :, 2 * c8:] = mm(full[5], wep[...]).astype(dtype)
+
+
+def call_octic_qkvattnproj_fwd(a1, a2, b1, b2, ef, w1, we, bias,
+                               w1p, wep, biasp):
+    b = a1.shape[0]
+    c8 = a1.shape[-1]
+    kwargs = dict(num_heads=H, d1=D1, de=DE, scale=SCALE)
+    in_specs = [
+        pl.BlockSpec((1, N, c8), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM) for _ in range(4)
+    ] + [
+        pl.BlockSpec((1, N, 4 * c8), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, c8, 3 * c8), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2 * c8, 6 * c8), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3 * c8), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, c8, c8), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2 * c8, 2 * c8), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c8), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    shapes = (
+        *(jax.ShapeDtypeStruct((b, N, c8), DT) for _ in range(4)),
+        jax.ShapeDtypeStruct((b, N, 4 * c8), DT),
+    )
+    out_specs = tuple(pl.BlockSpec((1,) + s.shape[1:], lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM) for s in shapes)
+    return pl.pallas_call(
+        functools.partial(k_octic_qkvattnproj_fwd, **kwargs), grid=(b,),
+        in_specs=in_specs, out_specs=out_specs, out_shape=tuple(shapes),
+        interpret=INTERP,
+    )(a1, a2, b1, b2, ef, w1, we, bias, w1p, wep, biasp)
+
+
+def qkvattn_then_xla_proj(a1, a2, b1, b2, ef, w1, we, bias, w1p, wep, biasp):
+    """Comparison: fused qkv+attn kernel -> XLA proj (today's best + step 1)."""
+    dt = a1.dtype
+    o1, o2, o3, o4, oe0, oe1 = call_octic_qkvattn_fwd(
+        a1, a2, b1, b2, ef, w1, we, bias)
+    ones = jnp.stack((o1, o2, o3, o4), axis=0)
+    out1 = jax.lax.dot_general(
+        ones, w1p, (((3,), (1,)), ((0,), (0,))), preferred_element_type=dt)
+    pa1 = out1[0] + biasp[0].astype(dt)
+    p0 = jnp.dot(oe0, wep, preferred_element_type=dt)
+    p1 = jnp.dot(oe1, wep, preferred_element_type=dt)
+    return (pa1, out1[1], out1[2], out1[3],
+            jnp.concatenate((p0, p1), axis=-1))
+
+
+def call_octic_qkvattn_fwd(a1, a2, b1, b2, ef, w1, we, bias):
+    b = a1.shape[0]
+    c8 = a1.shape[-1]
+    kwargs = dict(num_heads=H, d1=D1, de=DE, scale=SCALE)
+    in_specs = [
+        pl.BlockSpec((1, N, c8), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM) for _ in range(4)
+    ] + [
+        pl.BlockSpec((1, N, 4 * c8), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, c8, 3 * c8), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2 * c8, 6 * c8), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3 * c8), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    shapes = _octic_shapes(b)
+    out_specs = tuple(pl.BlockSpec((1,) + s.shape[1:], lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM) for s in shapes)
+    return pl.pallas_call(
+        functools.partial(k_octic_qkvattn_fwd, **kwargs), grid=(b,),
+        in_specs=in_specs, out_specs=out_specs, out_shape=tuple(shapes),
+        interpret=INTERP,
+    )(a1, a2, b1, b2, ef, w1, we, bias)
+
+
+def qkv_xla_then_attn(a1, a2, b1, b2, ef, w1, we, bias):
+    """Reference composition: XLA batched qkv dot -> attention kernel
+    (mirrors today's AttentionD8 flat-E path)."""
+    c8 = a1.shape[-1]
+    dt = a1.dtype
+    ones = jnp.stack((a1, a2, b1, b2), axis=0)
+    out1 = jax.lax.dot_general(
+        ones, w1, (((3,), (1,)), ((0,), (0,))), preferred_element_type=dt)
+    qa1 = out1[0] + bias.astype(dt)
+    e0 = jnp.dot(ef[..., :2 * c8], we, preferred_element_type=dt)
+    e1 = jnp.dot(ef[..., 2 * c8:], we, preferred_element_type=dt)
+    return call_octic_fwd((qa1, out1[1], out1[2], out1[3], e0, e1))
+
+
+# ---------------------------------------------------------------------------
 # harness
 # ---------------------------------------------------------------------------
 
@@ -713,6 +910,51 @@ def main():
             return max(maxerr(x, y) for x, y in zip(a, b))
         return float(jnp.max(jnp.abs(a.astype(jnp.float32) -
                                      b.astype(jnp.float32))))
+
+    if "--fuseqkv-only" in sys.argv:
+        ks = jax.random.split(jax.random.PRNGKey(7), 8)
+        mkx = lambda k, w: (jax.random.normal(k, (B, N, w)) * 0.1).astype(DT)
+        xa = [mkx(ks[i], C8) for i in range(4)]
+        xe = mkx(ks[4], 4 * C8)
+        w1 = (jax.random.normal(ks[5], (4, C8, 3 * C8)) * 0.05).astype(DT)
+        we = (jax.random.normal(ks[6], (2 * C8, 6 * C8)) * 0.05).astype(DT)
+        bias = (jax.random.normal(ks[7], (1, 3 * C8)) * 0.05).astype(DT)
+        kp_ = jax.random.split(jax.random.PRNGKey(8), 3)
+        w1p = (jax.random.normal(kp_[0], (4, C8, C8)) * 0.05).astype(DT)
+        wep = (jax.random.normal(kp_[1], (2 * C8, 2 * C8)) * 0.05).astype(DT)
+        biasp = (jax.random.normal(kp_[2], (1, C8)) * 0.05).astype(DT)
+        args2 = tuple(x[:2] for x in xa) + (xe[:2], w1, we, bias)
+        err = maxerr(list(qkv_xla_then_attn(*args2)),
+                     list(call_octic_qkvattn_fwd(*args2)))
+        print(f"fused qkv+attn fwd max err: {err:.5f}", flush=True)
+        assert err < 5e-2, err
+        args2p = args2 + (w1p, wep, biasp)
+        err = maxerr(list(qkvattn_then_xla_proj(*args2p)),
+                     list(call_octic_qkvattnproj_fwd(*args2p)))
+        print(f"fused qkv+attn+proj fwd max err: {err:.5f}", flush=True)
+        assert err < 5e-2, err
+        if "--check-only" in sys.argv:
+            return
+        args = tuple(xa) + (xe, w1, we, bias)
+        argsp = args + (w1p, wep, biasp)
+        bench("octic qkv(XLA)+attn kernel", qkv_xla_then_attn, args)
+        bench("octic FUSED qkv+attn kernel", call_octic_qkvattn_fwd, args)
+        bench("fused qkv+attn -> XLA proj", qkvattn_then_xla_proj, argsp)
+        bench("octic FUSED qkv+attn+proj", call_octic_qkvattnproj_fwd, argsp)
+        return
+
+    if "--quad-only" in sys.argv:
+        ins2 = [x[:2] for x in ins]
+        err = maxerr(list(call_octic_fwd(ins2)),
+                     list(call_octic_fwd(ins2, kernel=k_octic_maskquad_fwd)))
+        print(f"maskquad octic fwd max err: {err:.5f}", flush=True)
+        assert err < 2e-2, err
+        bench("octic fwd (current=maskpair)",
+              lambda *a: call_octic_fwd(a), tuple(ins))
+        bench("octic fwd maskquad",
+              lambda *a: call_octic_fwd(a, kernel=k_octic_maskquad_fwd),
+              tuple(ins))
+        return
 
     # numerics: packed/maskpair fwd+bwd match the loop kernels
     ref = call_std_fwd_loop(qkv[:2])

@@ -39,6 +39,8 @@ VARIANTS = {
                      "use_pallas_gelu": True},
     "flat_xoctmlp2": {"flat_e_carry": True, "use_pallas_linear": False},
     "flat_fusemlp": {"flat_e_carry": True, "fuse_mlp": True},
+    "flat_fuseqkv": {"flat_e_carry": True, "fuse_mlp": True,
+                     "fuse_qkv": True},
 }
 
 

@@ -315,3 +315,87 @@ def test_attention_d8_wide_qkv_module_parity():
         np.testing.assert_allclose(
             np.asarray(a_), np.asarray(b_), atol=1e-5, err_msg=name
         )
+
+
+def test_octic_fused_qkv_matches_composition():
+    """octic_attention_fused_qkv == LinearD8-qkv math + octic_attention,
+    fwd and grads, bias/no-bias and odd head count (interpret mode)."""
+    from octic_vits_tpu.ops.pallas_attention import (
+        _fused_qkv_eager,
+        octic_attention_fused_qkv,
+    )
+
+    def check(c8, heads, use_bias):
+        b, n = 2, 7
+        ks = jax.random.split(jax.random.PRNGKey(c8 + heads), 8)
+        a = [jax.random.normal(ks[i], (b, n, c8)) for i in range(4)]
+        ef = jax.random.normal(ks[4], (b, n, 4 * c8))
+        w1 = jax.random.normal(ks[5], (4, c8, 3 * c8)) * 0.2
+        we = jax.random.normal(ks[6], (2 * c8, 6 * c8)) * 0.2
+        bias = (jax.random.normal(ks[7], (3 * c8,)) * 0.2
+                if use_bias else None)
+
+        def ref(*args):
+            return octic_attention(*_fused_qkv_eager(*args), heads)
+
+        def fused(*args):
+            return octic_attention_fused_qkv(*args, heads)
+
+        args = (*a, ef, w1, we, bias)
+        for o_r, o_f in zip(ref(*args), fused(*args)):
+            np.testing.assert_allclose(
+                np.asarray(o_f), np.asarray(o_r), atol=1e-5
+            )
+        diff_args = tuple(range(7 if bias is None else 8))
+        gr = jax.grad(
+            lambda *t: sum(jnp.sum(o ** 2) for o in ref(*t, *args[len(t):])),
+            argnums=diff_args)(*args[: len(diff_args)])
+        gf = jax.grad(
+            lambda *t: sum(jnp.sum(o ** 2) for o in fused(*t, *args[len(t):])),
+            argnums=diff_args)(*args[: len(diff_args)])
+        for x, y in zip(gr, gf):
+            np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-4)
+
+    check(16, 2, True)   # even heads, bias
+    check(16, 2, False)  # no bias
+    check(24, 3, True)   # odd head count (tail head path)
+
+
+def test_attention_d8_fuse_qkv_module_parity():
+    """AttentionD8(fuse_qkv=True) on the flat-E tuple == base path on the
+    same params: fwd exact, grads to 1e-5, identical parameter tree."""
+    b, n, c8, heads = 2, 9, 16, 2
+    xs = tuple(
+        jax.random.normal(jax.random.PRNGKey(i), (b, n, c8)) for i in range(4)
+    ) + (jax.random.normal(jax.random.PRNGKey(9), (b, n, 4 * c8)),)
+    base = AttentionD8(num_heads=heads, qkv_bias=True,
+                       use_pallas_attention=True)
+    fused = AttentionD8(num_heads=heads, qkv_bias=True,
+                        use_pallas_attention=True, fuse_qkv=True)
+    v = base.init(jax.random.PRNGKey(0), xs)
+    v2 = fused.init(jax.random.PRNGKey(1), xs)
+    assert (jax.tree.map(lambda a_: a_.shape, v["params"])
+            == jax.tree.map(lambda a_: a_.shape, v2["params"]))
+    out_b = base.apply(v, xs)
+    out_f = fused.apply(v, xs)
+    for i in range(5):
+        np.testing.assert_allclose(
+            np.asarray(out_f[i]), np.asarray(out_b[i]), atol=1e-6,
+        )
+
+    def loss(mod):
+        def f(vv):
+            o = mod.apply(vv, xs)
+            return sum(jnp.sum(t ** 2) for t in o)
+        return f
+
+    gb = jax.grad(loss(base))(v)
+    gf = jax.grad(loss(fused))(v)
+    for (pa, a_), (_, b_) in zip(
+        jax.tree_util.tree_leaves_with_path(gb),
+        jax.tree_util.tree_leaves_with_path(gf),
+    ):
+        name = "/".join(str(getattr(k, "key", k)) for k in pa)
+        np.testing.assert_allclose(
+            np.asarray(a_), np.asarray(b_), atol=1e-5, err_msg=name
+        )
