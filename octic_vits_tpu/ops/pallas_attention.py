@@ -562,7 +562,228 @@ def _fused_fwd_rule(a1, a2, b1, b2, ef, w1, we, bias, num_heads, interpret):
     return out, (a1, a2, b1, b2, ef, w1, we, bias)
 
 
+def _octic_qkv_attn_bwd_kernel(a1, a2, b1, b2, ef, w1, we, bias,
+                               g1, g2, g3, g4, ge0, ge1,
+                               da1, da2, db1, db2, def_, dw1, dwe, dbias,
+                               *, num_heads, d1, de, scale, use_bias):
+    """Whole attention bwd in ONE kernel: recompute qkv from (x, w) on the
+    MXU, pair-bwd through the attention, fold the linear transpose (dx) and
+    the weight grads in — neither qkv nor dqkv ever touch HBM. Weight grads
+    accumulate in f32 output refs across the sequential grid."""
+    dtype = a1.dtype
+    c8 = a1.shape[-1]
+    f32 = jnp.float32
+
+    def mm(x, w):
+        return jax.lax.dot_general(
+            x, w, (((1,), (0,)), ((), ())), preferred_element_type=f32
+        ).astype(dtype)
+
+    qa1 = mm(a1[0], w1[0])
+    if use_bias:
+        qa1 = qa1 + bias[...].astype(dtype)
+    vals = (qa1, mm(a2[0], w1[1]), mm(b1[0], w1[2]), mm(b2[0], w1[3]),
+            mm(ef[0][:, : 2 * c8], we[...]), mm(ef[0][:, 2 * c8 :], we[...]))
+
+    m0, m1 = _octic_pair_masks(d1, de, dtype)
+    # dqkv pieces per (irrep, s) in head order; concatenated below into the
+    # same s-major channel layout the weights use
+    p1d = [[[] for _ in range(3)] for _ in range(4)]
+    pe = [[[] for _ in range(3)] for _ in range(2)]
+    for h in range(0, num_heads - 1, 2):
+        qp = _pair_slices_vals(vals, h, num_heads, d1, de, 0)
+        kp = _pair_slices_vals(vals, h, num_heads, d1, de, 1)
+        vp = _pair_slices_vals(vals, h, num_heads, d1, de, 2)
+        gs = [arr[0][:, h * d1 : (h + 2) * d1] for arr in (g1, g2, g3, g4)]
+        gs += [arr[0][:, h * de : (h + 2) * de] for arr in (ge0, ge1)]
+        gp = jnp.concatenate(gs, axis=1)
+        dq, dk, dv = _pair_attn_bwd(qp, kp, vp, gp, m0, m1, scale, dtype)
+        for s_idx, dmat in enumerate((dq, dk, dv)):
+            for gix in range(4):
+                p1d[gix][s_idx].append(
+                    dmat[:, 2 * gix * d1 : 2 * (gix + 1) * d1]
+                )
+            base = 8 * d1
+            for r in range(2):
+                pe[r][s_idx].append(
+                    dmat[:, base + r * 2 * de : base + (r + 1) * 2 * de]
+                )
+    if num_heads % 2:
+        h = num_heads - 1
+        q = _head_slices_vals(vals, h, num_heads, d1, de, 0)
+        k = _head_slices_vals(vals, h, num_heads, d1, de, 1)
+        v = _head_slices_vals(vals, h, num_heads, d1, de, 2)
+        gs = [arr[0][:, h * d1 : (h + 1) * d1] for arr in (g1, g2, g3, g4)]
+        gs += [arr[0][:, h * de : (h + 1) * de] for arr in (ge0, ge1)]
+        g = jnp.concatenate(gs, axis=1)
+        dq, dk, dv = _attn_head_bwd(q, k, v, g, scale, dtype)
+        for s_idx, dmat in enumerate((dq, dk, dv)):
+            for gix in range(4):
+                p1d[gix][s_idx].append(
+                    dmat[:, gix * d1 : (gix + 1) * d1]
+                )
+            for r in range(2):
+                off = 4 * d1 + r * de
+                pe[r][s_idx].append(dmat[:, off : off + de])
+    dq1d = [
+        jnp.concatenate(
+            [p for s in range(3) for p in p1d[g][s]], axis=1
+        ).astype(dtype)
+        for g in range(4)
+    ]
+    dre = [
+        jnp.concatenate(
+            [p for s in range(3) for p in pe[r][s]], axis=1
+        ).astype(dtype)
+        for r in range(2)
+    ]
+    # dx_g = dqkv_g @ w1[g]^T ; dE rows via we^T
+    for g, dref in enumerate((da1, da2, db1, db2)):
+        dref[0] = jax.lax.dot_general(
+            dq1d[g], w1[g], (((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        ).astype(dtype)
+    def_[0] = jnp.concatenate(
+        [
+            jax.lax.dot_general(
+                dre[r], we[...], (((1,), (1,)), ((), ())),
+                preferred_element_type=f32,
+            ).astype(dtype)
+            for r in range(2)
+        ],
+        axis=1,
+    )
+    # weight grads: per-step [c8,3c8]/[2c8,6c8] dots, f32 accumulation
+    xs = (a1, a2, b1, b2)
+    dw1_step = jnp.stack(
+        [
+            jax.lax.dot_general(
+                xs[g][0], dq1d[g], (((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+            for g in range(4)
+        ]
+    )
+    dwe_step = (
+        jax.lax.dot_general(
+            ef[0][:, : 2 * c8], dre[0], (((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        + jax.lax.dot_general(
+            ef[0][:, 2 * c8 :], dre[1], (((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+    )
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _():
+        dw1[...] = dw1_step
+        dwe[...] = dwe_step
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        dw1[...] += dw1_step
+        dwe[...] += dwe_step
+
+    if use_bias:
+        db_step = jnp.sum(
+            dq1d[0].astype(f32), axis=0, keepdims=True
+        )
+
+        @pl.when(first)
+        def _():
+            dbias[...] = db_step
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            dbias[...] += db_step
+
+
+def _fused_bwd_kernel_call(a1, a2, b1, b2, ef, w1, we, bias, cots,
+                           num_heads, interpret):
+    b, n, c8 = a1.shape
+    c = 8 * c8
+    d1 = c8 // num_heads
+    de = 2 * c8 // num_heads
+    scale = (c // num_heads) ** -0.5
+    use_bias = bias is not None
+    bias2d = (jnp.zeros((1, 3 * c8), a1.dtype) if bias is None
+              else bias.reshape(1, 3 * c8))
+    f32 = jnp.float32
+    in_specs = [
+        pl.BlockSpec((1, n, c8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        for _ in range(4)
+    ] + [
+        pl.BlockSpec((1, n, 4 * c8), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, c8, 3 * c8), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2 * c8, 6 * c8), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3 * c8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec((1, n, c8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        for _ in range(4)
+    ] + [
+        pl.BlockSpec((1, n, 2 * c8), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for _ in range(2)
+    ]
+    shapes = (
+        *(jax.ShapeDtypeStruct((b, n, c8), a1.dtype) for _ in range(4)),
+        jax.ShapeDtypeStruct((b, n, 4 * c8), a1.dtype),
+        jax.ShapeDtypeStruct((4, c8, 3 * c8), f32),
+        jax.ShapeDtypeStruct((2 * c8, 6 * c8), f32),
+        jax.ShapeDtypeStruct((1, 3 * c8), f32),
+    )
+    out_specs = (
+        *(pl.BlockSpec((1, n, c8), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM) for _ in range(4)),
+        pl.BlockSpec((1, n, 4 * c8), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, c8, 3 * c8), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2 * c8, 6 * c8), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3 * c8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    )
+    outs = pl.pallas_call(
+        functools.partial(
+            _octic_qkv_attn_bwd_kernel, num_heads=num_heads, d1=d1, de=de,
+            scale=scale, use_bias=use_bias,
+        ),
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=shapes,
+        interpret=_auto_interpret(interpret),
+    )(a1, a2, b1, b2, ef, w1, we, bias2d, *cots)
+    da1, da2, db1, db2, def_, dw1, dwe, dbias = outs
+    dw1 = dw1.astype(w1.dtype)
+    dwe = dwe.astype(we.dtype)
+    db = None if bias is None else dbias.reshape(3 * c8).astype(bias.dtype)
+    return (da1, da2, db1, db2, def_, dw1, dwe, db)
+
+
+# Measured on v5e (B=32 train step): the all-in-one bwd kernel LOSES to the
+# eager chain (339.7 vs 334.4 ms) — Mosaic serializes the recompute/transpose
+# /wgrad matmuls it pulls in, while XLA pipelines them with neighbor blocks;
+# the saved qkv/dqkv HBM round trips don't cover that. Kept switchable for
+# future toolchains; parity-tested either way.
+FUSED_BWD_KERNEL = False
+
+
 def _fused_bwd_rule(num_heads, interpret, res, cots):
+    if FUSED_BWD_KERNEL:
+        a1, a2, b1, b2, ef, w1, we, bias = res
+        return _fused_bwd_kernel_call(
+            a1, a2, b1, b2, ef, w1, we, bias, cots, num_heads, interpret
+        )
+    return _fused_bwd_rule_eager(num_heads, interpret, res, cots)
+
+
+def _fused_bwd_rule_eager(num_heads, interpret, res, cots):
     a1, a2, b1, b2, ef, w1, we, bias = res
     c8 = a1.shape[-1]
     # recompute qkv (same math as the in-kernel dots), then the existing

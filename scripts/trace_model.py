@@ -34,12 +34,15 @@ def build(which):
         mlp_ratio=4.0, qkv_bias=True, num_classes=1000, dtype=jnp.bfloat16,
         scan_blocks=True,
     )
-    if which in ("hybrid", "hybrid_wide", "hybrid_flat", "hybrid_fused"):
+    if which in ("hybrid", "hybrid_wide", "hybrid_flat", "hybrid_fused",
+                 "hybrid_fuseqkv"):
         return OcticVisionTransformer(
             use_pallas_attention=True, use_pallas_linear=True,
             use_pallas_std_mlp=True, use_wide_qkv=(which == "hybrid_wide"),
-            flat_e_carry=which in ("hybrid_flat", "hybrid_fused"),
-            fuse_mlp=(which == "hybrid_fused"),
+            flat_e_carry=which in ("hybrid_flat", "hybrid_fused",
+                                   "hybrid_fuseqkv"),
+            fuse_mlp=which in ("hybrid_fused", "hybrid_fuseqkv"),
+            fuse_qkv=(which == "hybrid_fuseqkv"),
             **common
         )
     return VisionTransformer(

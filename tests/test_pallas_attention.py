@@ -356,9 +356,20 @@ def test_octic_fused_qkv_matches_composition():
         for x, y in zip(gr, gf):
             np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-4)
 
+    import octic_vits_tpu.ops.pallas_attention as pa
+
     check(16, 2, True)   # even heads, bias
     check(16, 2, False)  # no bias
     check(24, 3, True)   # odd head count (tail head path)
+    # the all-in-one bwd kernel variant (off by default, see BENCH.md)
+    old = pa.FUSED_BWD_KERNEL
+    try:
+        pa.FUSED_BWD_KERNEL = True
+        check(16, 2, True)
+        check(16, 2, False)
+        check(24, 3, True)
+    finally:
+        pa.FUSED_BWD_KERNEL = old
 
 
 def test_attention_d8_fuse_qkv_module_parity():
