@@ -112,8 +112,11 @@ class SSLMetaArch:
             # dense kernel's row tiling
             kernel_kwargs = dict(use_pallas_attention=True)
             if octic_arch:
+                # fuse_qkv: the octic qkv runs inside the attention kernel
+                # (measured +12.8 img/s inference, neutral for training —
+                # the teacher forwards get it for free)
                 kernel_kwargs.update(use_pallas_linear=True,
-                                     flat_e_carry=True)
+                                     flat_e_carry=True, fuse_qkv=True)
         else:
             kernel_kwargs = {}
         if cfg.backbone_scan:

@@ -84,6 +84,7 @@ def main():
                 kernel_kw["use_pallas_std_mlp"] = on_tpu
                 kernel_kw["flat_e_carry"] = True
                 kernel_kw["fuse_mlp"] = on_tpu
+                kernel_kw["fuse_qkv"] = on_tpu
             model = create_model(name, dtype=jnp.bfloat16, **kernel_kw)
             ips, n_params = throughput(model, args.batch)
             print(f"{name:42s} {n_params/1e6:10.1f} {g_macs:8.1f} {ips:10.1f}")

@@ -41,6 +41,11 @@ VARIANTS = {
     "flat_fusemlp": {"flat_e_carry": True, "fuse_mlp": True},
     "flat_fuseqkv": {"flat_e_carry": True, "fuse_mlp": True,
                      "fuse_qkv": True},
+    "flat_fuseqkv_u2": {"flat_e_carry": True, "fuse_mlp": True,
+                        "fuse_qkv": True, "scan_unroll": 2},
+    "flat_fuseqkv_u4": {"flat_e_carry": True, "fuse_mlp": True,
+                        "fuse_qkv": True, "scan_unroll": 4},
+    "packed": {"packed_carry": True, "fuse_mlp": True, "fuse_qkv": True},
 }
 
 

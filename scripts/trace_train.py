@@ -36,7 +36,7 @@ def build(which, remat):
     if which == "hybrid":
         return OcticVisionTransformer(
             use_pallas_attention=True, use_pallas_linear=True,
-            use_pallas_std_mlp=True, **common
+            use_pallas_std_mlp=True, flat_e_carry=True, **common
         )
     return VisionTransformer(
         use_pallas_attention=True, use_pallas_mlp=True, **common

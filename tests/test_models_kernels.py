@@ -28,10 +28,13 @@ def nhwc_group_action(g, img):
 def test_kernel_model_matches_plain_and_is_invariant():
     img = jax.random.normal(jax.random.PRNGKey(0), IMG)
     plain = OcticVisionTransformer(**KW)
+    # the full bench.py inference configuration, incl. the flat-E carry and
+    # the fused qkv+attention / fc1+GELU+fc2 kernels
     kernels = OcticVisionTransformer(
         **KW,
         use_pallas_attention=True, use_pallas_linear=True,
-        use_pallas_std_mlp=True,
+        use_pallas_std_mlp=True, flat_e_carry=True, fuse_mlp=True,
+        fuse_qkv=True,
     )
     variables = plain.init(jax.random.PRNGKey(1), img)
     ref = plain.apply(variables, img)
@@ -48,3 +51,20 @@ def test_kernel_model_matches_plain_and_is_invariant():
     # negative control
     flipped = apply_fn(img[..., ::-1])
     assert float(jnp.abs(base - flipped).max()) > 1e-3
+
+
+def test_packed_carry_matches_plain():
+    """packed_carry=True (ONE flat [B,N,C] trunk carry, packed-I/O kernels)
+    reproduces the kernel-free model with the same parameter tree."""
+    img = jax.random.normal(jax.random.PRNGKey(0), IMG)
+    plain = OcticVisionTransformer(**KW)
+    packed = OcticVisionTransformer(
+        **KW,
+        use_pallas_attention=True, use_pallas_linear=True,
+        use_pallas_std_mlp=True, packed_carry=True, fuse_mlp=True,
+        fuse_qkv=True,
+    )
+    variables = plain.init(jax.random.PRNGKey(1), img)
+    ref = plain.apply(variables, img)
+    out = packed.apply(variables, img)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
