@@ -142,6 +142,15 @@ class LinearD8(nn.Module):
         return outs
 
 
+def unpack_packed_5f(x):
+    """Flat packed [..., C] container -> flat-E 5-tuple of lane-slice views
+    (4 x [..., C/8] + E [..., C/2] = [row0|row1])."""
+    c8 = x.shape[-1] // 8
+    return tuple(
+        x[..., g * c8:(g + 1) * c8] for g in range(4)
+    ) + (x[..., 4 * c8:],)
+
+
 class ScaleD8(nn.Module):
     """Per-irrep diagonal scaling (LayerScale); optionally an A1 bias
     (then it is the reference's AffineD8). Reference:
@@ -382,16 +391,27 @@ class MlpD8(nn.Module):
     @nn.compact
     def __call__(self, xs: Tuple5, deterministic: bool = True,
                  layerscale=None, residual=None) -> Tuple5:
-        in_features = xs[0].shape[-1] * 8
-        hidden = self.hidden_features or in_features
-        out = self.out_features or in_features
-        if (
+        # flat packed [..., C] input (packed trunk carry): fused kernel
+        # consumes and produces the packed container directly; any other
+        # configuration falls back to the flat-E tuple view.
+        packed = not isinstance(xs, (tuple, list))
+        fusable = (
             self.fuse_mlp
             and self.use_pallas_linear
             and layerscale is None
             and (self.drop == 0.0 or deterministic)
-        ):
-            from octic_vits_tpu.ops.pallas_linear import mlp_d8_tuple
+        )
+        if packed and not fusable:
+            xs = unpack_packed_5f(xs)
+            packed = False
+        in_features = xs.shape[-1] if packed else xs[0].shape[-1] * 8
+        hidden = self.hidden_features or in_features
+        out = self.out_features or in_features
+        if fusable:
+            from octic_vits_tpu.ops.pallas_linear import (
+                mlp_d8_packed,
+                mlp_d8_tuple,
+            )
 
             w1a, wea, b1 = _LinearD8Params(
                 hidden, in_features, use_bias=self.use_bias,
@@ -401,9 +421,15 @@ class MlpD8(nn.Module):
                 out, hidden, use_bias=self.use_bias,
                 param_dtype=self.param_dtype, name="fc2",
             )()
-            dtype = self.dtype or xs[0].dtype
-            flat_e = xs[4].ndim == xs[0].ndim
+            dtype = self.dtype or (xs.dtype if packed else xs[0].dtype)
             cast = lambda t: None if t is None else t.astype(dtype)
+            if packed:
+                return mlp_d8_packed(
+                    xs.astype(dtype),
+                    cast(w1a), cast(wea), cast(b1), cast(w1b), cast(web),
+                    cast(b2),
+                )
+            flat_e = xs[4].ndim == xs[0].ndim
             return mlp_d8_tuple(
                 tuple(x.astype(dtype) for x in xs),
                 cast(w1a), cast(wea), cast(b1), cast(w1b), cast(web),
@@ -638,8 +664,26 @@ class AttentionD8(nn.Module):
     @nn.compact
     def __call__(self, xs: Tuple5, deterministic: bool = True,
                  layerscale=None, residual=None) -> Tuple5:
-        b, n, c8 = xs[0].shape
-        c = 8 * c8
+        # flat packed [B, N, C] input (packed trunk carry): consumed
+        # directly by the packed fused qkv+attention kernel; any other
+        # configuration falls back to the flat-E tuple view.
+        packed = not isinstance(xs, (tuple, list))
+        if packed:
+            fq_ok = (
+                self.fuse_qkv
+                and self.use_pallas_attention
+                and not self.use_wide_qkv
+                and not (self.attn_drop > 0.0 and not deterministic)
+            )
+            if not fq_ok:
+                xs = unpack_packed_5f(xs)
+                packed = False
+        if packed:
+            b, n, c = xs.shape
+            c8 = c // 8
+        else:
+            b, n, c8 = xs[0].shape
+            c = 8 * c8
         h = self.num_heads
         if (c // h) % 8:
             raise ValueError("head dim must be divisible by 8")
@@ -650,7 +694,8 @@ class AttentionD8(nn.Module):
         # ~MXU peak here (profiled); the fused Pallas kernel only pays in
         # the MLP where the GELU epilogue folds in.
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        flat_e = xs[4].ndim == xs[0].ndim  # flat-E tuple (TPU packed path)
+        # flat-E tuple or flat packed array (TPU packed paths)
+        flat_e = packed or xs[4].ndim == xs[0].ndim
         qkv_mod = LinearD8(3 * c, use_bias=self.qkv_bias, name="qkv", **common)
 
         wide = (
@@ -742,23 +787,32 @@ class AttentionD8(nn.Module):
         ):
             from octic_vits_tpu.ops.pallas_attention import (
                 octic_attention_fused_qkv,
+                octic_attention_fused_qkv_packed,
             )
 
-            dt = self.dtype or xs[0].dtype
+            dt = self.dtype or (xs.dtype if packed else xs[0].dtype)
             # materialize the qkv params with a dummy call (dead compute,
             # DCE'd) so the tree matches the non-fused path exactly
             dummy = tuple(
-                jnp.zeros((1, 1, c8), xs[0].dtype) for _ in range(4)
-            ) + (jnp.zeros((1, 1, 2, 2 * c8), xs[0].dtype),)
+                jnp.zeros((1, 1, c8), jnp.float32) for _ in range(4)
+            ) + (jnp.zeros((1, 1, 2, 2 * c8), jnp.float32),)
             qkv_mod(dummy)
             p = self.get_variable("params", "qkv")
-            o1, o2, o3, o4, oe0, oe1 = octic_attention_fused_qkv(
-                xs[0].astype(dt), xs[1].astype(dt), xs[2].astype(dt),
-                xs[3].astype(dt), xs[4].astype(dt),
-                p["kernel_1d"].astype(dt), p["kernel_e"].astype(dt),
-                p["bias_a1"].astype(dt) if self.qkv_bias else None,
-                h,
-            )
+            if packed:
+                o1, o2, o3, o4, oe0, oe1 = octic_attention_fused_qkv_packed(
+                    xs.astype(dt),
+                    p["kernel_1d"].astype(dt), p["kernel_e"].astype(dt),
+                    p["bias_a1"].astype(dt) if self.qkv_bias else None,
+                    h,
+                )
+            else:
+                o1, o2, o3, o4, oe0, oe1 = octic_attention_fused_qkv(
+                    xs[0].astype(dt), xs[1].astype(dt), xs[2].astype(dt),
+                    xs[3].astype(dt), xs[4].astype(dt),
+                    p["kernel_1d"].astype(dt), p["kernel_e"].astype(dt),
+                    p["bias_a1"].astype(dt) if self.qkv_bias else None,
+                    h,
+                )
             o1, o2, o3, o4, oe0, oe1 = (
                 _checkpoint_name(t, "attn_out")
                 for t in (o1, o2, o3, o4, oe0, oe1)
@@ -1000,12 +1054,11 @@ class BlockD8(nn.Module):
         if packed:
             # flat-E views: 5 plain lane slices / one concat — E never
             # becomes [..., 2, C/4] (that reshape is a tiled-layout
-            # relayout of the whole stream, ~0.26 ms/block in traces)
-            def unpack_fe(x):
-                return tuple(
-                    x[..., g * c8:(g + 1) * c8] for g in range(4)
-                ) + (x[..., 4 * c8:],)
-
+            # relayout of the whole stream, ~0.26 ms/block in traces).
+            # When the fused qkv+attention / fused MLP kernels are on,
+            # attn/mlp consume the packed array DIRECTLY (in-kernel slices)
+            # and the MLP also returns it packed — no XLA-side slice/concat
+            # materialization around those kernels at all.
             def pack_fe(ys):
                 return jnp.concatenate(ys, axis=-1)
 
@@ -1057,10 +1110,12 @@ class BlockD8(nn.Module):
                 )
                 return y * (mask.astype(y.dtype) / keep)
 
-            ys = attn(unpack_fe(apply_norm(X, "norm1")), deterministic)
+            ys = attn(apply_norm(X, "norm1"), deterministic)
             X = X + droppath(apply_ls(pack_fe(ys), "ls1"))
-            ys = mlp(unpack_fe(apply_norm(X, "norm2")), deterministic)
-            return X + droppath(apply_ls(pack_fe(ys), "ls2"))
+            ys = mlp(apply_norm(X, "norm2"), deterministic)
+            if isinstance(ys, (tuple, list)):
+                ys = pack_fe(ys)
+            return X + droppath(apply_ls(ys, "ls2"))
 
         if fuse_epilogue:
             xs = attn(

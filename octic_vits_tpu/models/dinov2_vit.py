@@ -240,7 +240,12 @@ class OcticDinoVisionTransformer(OcticVisionTransformer):
         return self._cat_cls_and_registers(xs, b)
 
     def _run_to_break(self, xs, deterministic):
-        if self.flat_e_carry:
+        if self.packed_carry:
+            # ONE flat [B, N, C] trunk carry (see OcticVisionTransformer)
+            from octic_vits_tpu.d8.group import pack_5_to_flat
+
+            xs = pack_5_to_flat(xs)
+        elif self.flat_e_carry:
             # lane-aligned flat-E trunk carry (see OcticVisionTransformer)
             e = xs[4]
             xs = xs[:4] + (e.reshape(e.shape[0], e.shape[1], -1),)

@@ -63,6 +63,12 @@ class OcticVisionTransformer(nn.Module):
     # no [.., 2, C/4] tiled-layout relayouts anywhere in the trunk. All
     # layers detect the container (math identical); params unchanged.
     flat_e_carry: bool = False
+    # carry the WHOLE octic residual stream as ONE flat packed [B, N, C]
+    # array (d8/group.py:pack_5_to_flat): norm/LayerScale/droppath/residual
+    # run as full-width lane-aligned passes and the scan carries a single
+    # array. Requires fuse_qkv + fuse_mlp (the packed-I/O kernels slice the
+    # per-irrep views in VMEM); math identical, params unchanged.
+    packed_carry: bool = False
     scan_unroll: int = 1            # lax.scan unroll for both trunks
     scan_split_transpose: bool = False  # scan bwd as a separate scan
     use_pallas_gelu: bool = False
@@ -244,6 +250,14 @@ class OcticVisionTransformer(nn.Module):
     def _break_to_flat(self, xs) -> Array:
         """Equivariance break: invariantize+project or concat to [B,N,C]
         in isotypic slot order (reference: octic_vits/model.py:196-200)."""
+        if not isinstance(xs, (tuple, list)):  # flat packed carry
+            from octic_vits_tpu.d8.group import flat_to_break, unpack_flat_to_5
+
+            if self.invariant:
+                return self.invariant_proj(
+                    self.invariantization(unpack_flat_to_5(xs))
+                )
+            return flat_to_break(xs)
         if xs[4].ndim == xs[0].ndim:  # flat-E carry
             from octic_vits_tpu.d8.group import unpack_5f_to_8
 
@@ -264,7 +278,12 @@ class OcticVisionTransformer(nn.Module):
         xs = self.patch_embed(x)
         xs = self._add_pos(xs, grid_hw)
         xs = self._cat_cls_and_registers(xs, b)
-        if self.flat_e_carry:
+        if self.packed_carry:
+            # ONE [B, N, C] packed array through the whole octic trunk
+            from octic_vits_tpu.d8.group import pack_5_to_flat
+
+            xs = pack_5_to_flat(xs)
+        elif self.flat_e_carry:
             # [B, N, 2, C/4] -> [B, N, C/2] = [row0|row1]: one relayout at
             # trunk entry buys lane-aligned E ops in every block
             e = xs[4]

@@ -449,8 +449,14 @@ def _octic_qkv_attn_kernel(a1, a2, b1, b2, ef, w1, we, bias,
     r0 = mm(ef[0][:, : 2 * c8], we[...])
     r1 = mm(ef[0][:, 2 * c8 :], we[...])
     vals = (qa1, qa2, qb1, qb2, r0, r1)
+    _qkv_attn_store(vals, (o1, o2, o3, o4), oe0, oe1,
+                    num_heads, d1, de, scale, dtype)
 
-    outs = (o1, o2, o3, o4)
+
+def _qkv_attn_store(vals, outs, oe0, oe1, num_heads, d1, de, scale, dtype):
+    """Shared head-pair attention loop over computed qkv values, storing the
+    per-irrep outputs (used by both the tuple- and packed-input fused
+    qkv+attention kernels)."""
     m0, m1 = _octic_pair_masks(d1, de, dtype)
     for h in range(0, num_heads - 1, 2):
         qp = _pair_slices_vals(vals, h, num_heads, d1, de, 0)
@@ -828,6 +834,117 @@ def _fused_bwd_rule_eager(num_heads, interpret, res, cots):
 
 
 octic_attention_fused_qkv.defvjp(_fused_fwd_rule, _fused_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# packed-input fused qkv+attention: the residual stream arrives as ONE flat
+# [B, N, C] array ([A1|A2|B1|B2|E row0|E row1], d8/group.py:pack_5_to_flat)
+# and the per-irrep views are sliced INSIDE the kernel (VMEM operand slices,
+# ~0.35 us each) instead of XLA materializing five sliced copies in HBM.
+# This is the packed-trunk-carry counterpart of octic_attention_fused_qkv;
+# outputs and math are identical.
+# ---------------------------------------------------------------------------
+
+
+def _octic_qkv_attn_kernel_packed(x, w1, we, bias,
+                                  o1, o2, o3, o4, oe0, oe1,
+                                  *, num_heads, d1, de, scale, use_bias):
+    dtype = x.dtype
+    c8 = w1.shape[1]
+    xb = x[0]
+
+    def mm(v, w):
+        return jax.lax.dot_general(
+            v, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype)
+
+    qa1 = mm(xb[:, :c8], w1[0])
+    if use_bias:
+        qa1 = qa1 + bias[...].astype(dtype)
+    qa2 = mm(xb[:, c8 : 2 * c8], w1[1])
+    qb1 = mm(xb[:, 2 * c8 : 3 * c8], w1[2])
+    qb2 = mm(xb[:, 3 * c8 : 4 * c8], w1[3])
+    r0 = mm(xb[:, 4 * c8 : 6 * c8], we[...])
+    r1 = mm(xb[:, 6 * c8 :], we[...])
+    _qkv_attn_store((qa1, qa2, qb1, qb2, r0, r1), (o1, o2, o3, o4), oe0, oe1,
+                    num_heads, d1, de, scale, dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def octic_attention_fused_qkv_packed(x, w1, we, bias, num_heads: int,
+                                     interpret: Optional[bool] = None):
+    """Flat packed [B, N, C] x + qkv weights -> attention outputs.
+
+    Same contract as :func:`octic_attention_fused_qkv` with the five input
+    arrays replaced by the packed container; returns the identical 6-tuple
+    (o1..o4 [B,N,C/8], oe0, oe1 [B,N,C/4])."""
+    return _fused_packed_fwd(x, w1, we, bias, num_heads, interpret)
+
+
+def _fused_packed_fwd(x, w1, we, bias, num_heads, interpret):
+    b, n, c = x.shape
+    c8 = c // 8
+    d1 = c8 // num_heads
+    de = 2 * c8 // num_heads
+    scale = (c // num_heads) ** -0.5
+    use_bias = bias is not None
+    bias2d = (jnp.zeros((1, 3 * c8), x.dtype) if bias is None
+              else bias.reshape(1, 3 * c8))
+    in_specs = [
+        pl.BlockSpec((1, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, c8, 3 * c8), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2 * c8, 6 * c8), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3 * c8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    shapes = (
+        *(jax.ShapeDtypeStruct((b, n, c8), x.dtype) for _ in range(4)),
+        jax.ShapeDtypeStruct((b, n, 2 * c8), x.dtype),
+        jax.ShapeDtypeStruct((b, n, 2 * c8), x.dtype),
+    )
+    out_specs = tuple(
+        pl.BlockSpec((1,) + s.shape[1:], lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for s in shapes
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _octic_qkv_attn_kernel_packed, num_heads=num_heads, d1=d1, de=de,
+            scale=scale, use_bias=use_bias,
+        ),
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=tuple(shapes),
+        interpret=_auto_interpret(interpret),
+    )(x, w1, we, bias2d)
+
+
+def _fused_packed_fwd_rule(x, w1, we, bias, num_heads, interpret):
+    out = _fused_packed_fwd(x, w1, we, bias, num_heads, interpret)
+    return out, (x, w1, we, bias)
+
+
+def _fused_packed_bwd_rule(num_heads, interpret, res, cots):
+    x, w1, we, bias = res
+    c8 = w1.shape[1]
+    a1 = x[..., :c8]
+    a2 = x[..., c8 : 2 * c8]
+    b1 = x[..., 2 * c8 : 3 * c8]
+    b2 = x[..., 3 * c8 : 4 * c8]
+    ef = x[..., 4 * c8 :]
+    da1, da2, db1, db2, def_, dw1, dwe, dbias = _fused_bwd_rule_eager(
+        num_heads, interpret, (a1, a2, b1, b2, ef, w1, we, bias), cots
+    )
+    dx = jnp.concatenate((da1, da2, db1, db2, def_), axis=-1)
+    return (dx, dw1, dwe, dbias)
+
+
+octic_attention_fused_qkv_packed.defvjp(
+    _fused_packed_fwd_rule, _fused_packed_bwd_rule
+)
 
 
 # ---------------------------------------------------------------------------

@@ -629,6 +629,132 @@ def _mlp_bwd_rule(interpret, res, cot):
 mlp_d8_fused.defvjp(_mlp_fwd_rule, _mlp_bwd_rule)
 
 
+# ---------------------------------------------------------------------------
+# packed-I/O fused octic MLP: input AND output are the flat packed [M, C]
+# container ([A1|A2|B1|B2|E row0|E row1], d8/group.py:pack_5_to_flat). The
+# per-irrep views are sliced inside the kernel and the five outputs land in
+# ONE full-width store, so the surrounding norm/LayerScale/residual glue of
+# the packed trunk runs on lane-aligned full-width arrays with no XLA-side
+# slice/concat materialization around the kernel. Math identical to
+# mlp_d8_fused.
+# ---------------------------------------------------------------------------
+
+
+def _mlp_kernel_packed(x, w1a, wea, b1, w1b, web, b2, y, *, use_bias: bool):
+    dtype = y.dtype
+    c = w1a.shape[-2]
+    h = w1a.shape[-1]
+    f = w1b.shape[-1]
+
+    def dot(a, w):
+        return jax.lax.dot_general(
+            a, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    hid1 = [dot(x[:, g * c : (g + 1) * c], w1a[g]) for g in range(4)]
+    if use_bias:
+        hid1[0] = hid1[0] + b1[0].astype(jnp.float32)
+    hrow0 = dot(x[:, 4 * c : 6 * c], wea[...])
+    hrow1 = dot(x[:, 6 * c :], wea[...])
+    e11, e12 = hrow0[:, :h], hrow0[:, h:]
+    e21, e22 = hrow1[:, :h], hrow1[:, h:]
+    a1, a2, b1g, b2g, e11, e12, e21, e22 = _apply_gelu_tiles(
+        hid1[0], hid1[1], hid1[2], hid1[3], e11, e12, e21, e22,
+        cheap=dtype == jnp.bfloat16,
+    )
+    # hidden -> compute dtype: identical rounding to the separate-kernel
+    # path's HBM store, so outputs match mlp_d8_fused bitwise
+    hs = [t.astype(dtype) for t in (a1, a2, b1g, b2g)]
+    he0 = jnp.concatenate((e11, e12), axis=1).astype(dtype)
+    he1 = jnp.concatenate((e21, e22), axis=1).astype(dtype)
+    for g in range(4):
+        acc = dot(hs[g], w1b[g])
+        if use_bias and g == 0:
+            acc = acc + b2[0].astype(jnp.float32)
+        y[:, g * f : (g + 1) * f] = acc.astype(dtype)
+    yrow0 = dot(he0, web[...])
+    yrow1 = dot(he1, web[...])
+    y[:, 4 * f : 6 * f] = yrow0.astype(dtype)
+    y[:, 6 * f :] = yrow1.astype(dtype)
+
+
+def _mlp_packed_fwd_pallas(x, w1a, wea, b1, w1b, web, b2, interpret):
+    m = x.shape[0]
+    c = w1a.shape[1]
+    h = w1a.shape[2]
+    f = w1b.shape[2]
+    use_bias = b1 is not None
+    b1v = jnp.zeros((1, h), x.dtype) if b1 is None else b1.reshape(1, h)
+    b2v = jnp.zeros((1, f), x.dtype) if b2 is None else b2.reshape(1, f)
+    tm = _mlp_row_tile(m, c, h, x.dtype.itemsize)
+    grid = (pl.cdiv(m, tm),)
+    return pl.pallas_call(
+        functools.partial(_mlp_kernel_packed, use_bias=use_bias),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, 8 * c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, c, h), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * c, 2 * h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, h, f), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * h, 2 * f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, 8 * f), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, 8 * f), x.dtype),
+        interpret=interpret,
+    )(x, w1a, wea, b1v, w1b, web, b2v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def mlp_d8_fused_packed(x, w1a, wea, b1, w1b, web, b2,
+                        interpret: Optional[bool] = None):
+    """One-kernel octic MLP on the flat packed container: [M, C] -> [M, C']."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _mlp_packed_fwd_pallas(x, w1a, wea, b1, w1b, web, b2, interpret)
+
+
+def _mlp_packed_fwd_rule(x, w1a, wea, b1, w1b, web, b2, interpret):
+    out = mlp_d8_fused_packed(x, w1a, wea, b1, w1b, web, b2, interpret)
+    return out, (x, w1a, wea, b1, w1b, web, b2)
+
+
+def _mlp_packed_bwd_rule(interpret, res, cot):
+    x, w1a, wea, b1, w1b, web, b2 = res
+    c = w1a.shape[1]
+    f = w1b.shape[2]
+    x1 = jnp.stack([x[:, g * c : (g + 1) * c] for g in range(4)])
+    xef = x[:, 4 * c :]
+    g1 = jnp.stack([cot[:, g * f : (g + 1) * f] for g in range(4)])
+    gef = cot[:, 4 * f :]
+    dx1, dxef, dw1a, dwea, db1, dw1b, dweb, db2 = _mlp_bwd_rule(
+        interpret, (x1, xef, w1a, wea, b1, w1b, web, b2), (g1, gef)
+    )
+    dx = jnp.concatenate((dx1[0], dx1[1], dx1[2], dx1[3], dxef), axis=-1)
+    return (dx, dw1a, dwea, db1, dw1b, dweb, db2)
+
+
+mlp_d8_fused_packed.defvjp(_mlp_packed_fwd_rule, _mlp_packed_bwd_rule)
+
+
+def mlp_d8_packed(x, w1a, wea, b1, w1b, web, b2, interpret=None):
+    """Packed-container wrapper with arbitrary leading dims:
+    [..., C] -> [..., C']."""
+    lead = x.shape[:-1]
+    c = x.shape[-1]
+    m = 1
+    for d in lead:
+        m *= d
+    f = w1b.shape[-1]
+    y = mlp_d8_fused_packed(
+        x.reshape(m, c), w1a, wea, b1, w1b, web, b2, interpret
+    )
+    return y.reshape(*lead, 8 * f)
+
+
 def mlp_d8_tuple(xs, w1a, wea, b1, w1b, web, b2, interpret=None,
                  flat_e=False):
     """5-tuple wrapper for the fused octic MLP (layouts as

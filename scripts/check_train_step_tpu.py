@@ -75,12 +75,14 @@ if len(sys.argv) > 2:
 if "--no-remat" in sys.argv:
     common["remat"] = False
 if which in ("all", "hybrid"):
+    packed = "--packed" in sys.argv
     h = run("hybrid(kernels)", OcticVisionTransformer(
         use_pallas_attention=True, use_pallas_linear=True,
         use_pallas_std_mlp=True, use_wide_qkv="--wide" in sys.argv,
-        flat_e_carry="--no-flat" not in sys.argv,
-        fuse_mlp="--fusemlp" in sys.argv,
-        fuse_qkv="--fuseqkv" in sys.argv,
+        flat_e_carry=not packed and "--no-flat" not in sys.argv,
+        packed_carry=packed,
+        fuse_mlp=packed or "--fusemlp" in sys.argv,
+        fuse_qkv=packed or "--fuseqkv" in sys.argv,
         **common))
 if which in ("all", "std"):
     s = run("standard(kernels)", VisionTransformer(

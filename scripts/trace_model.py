@@ -34,6 +34,12 @@ def build(which):
         mlp_ratio=4.0, qkv_bias=True, num_classes=1000, dtype=jnp.bfloat16,
         scan_blocks=True,
     )
+    if which == "hybrid_packed":
+        return OcticVisionTransformer(
+            use_pallas_attention=True, use_pallas_linear=True,
+            use_pallas_std_mlp=True, packed_carry=True, fuse_mlp=True,
+            fuse_qkv=True, **common
+        )
     if which in ("hybrid", "hybrid_wide", "hybrid_flat", "hybrid_fused",
                  "hybrid_fuseqkv"):
         return OcticVisionTransformer(
@@ -99,6 +105,12 @@ def parse_trace(log_dir, topk):
     tot = sum(totals.values())
     print(f"trace: {path}")
     print(f"total leaf device-op time: {tot/1e3:.2f} ms (3 runs)")
+    by_scope = defaultdict(float)
+    for (scope, _), dur in totals.items():
+        by_scope[scope] += dur
+    print("per-scope subtotals ('-' = outside every scan):")
+    for scope, dur in sorted(by_scope.items(), key=lambda kv: -kv[1]):
+        print(f"  {dur/1e3:9.3f} ms  [{scope}]")
     for (scope, name), dur in rows:
         print(f"  {dur/1e3:9.3f} ms  x{counts[(scope, name)]:<5d} "
               f"[{scope:8s}] {name}")

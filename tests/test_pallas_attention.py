@@ -410,3 +410,57 @@ def test_attention_d8_fuse_qkv_module_parity():
         np.testing.assert_allclose(
             np.asarray(a_), np.asarray(b_), atol=1e-5, err_msg=name
         )
+
+
+def test_octic_fused_qkv_packed_matches_tuple():
+    """octic_attention_fused_qkv_packed(pack(x)) == octic_attention_fused_qkv
+    (same outputs and grads; the packed variant slices the container
+    in-kernel)."""
+    from octic_vits_tpu.ops.pallas_attention import (
+        octic_attention_fused_qkv,
+        octic_attention_fused_qkv_packed,
+    )
+
+    def check(c8, heads, use_bias):
+        b, n = 2, 7
+        ks = jax.random.split(jax.random.PRNGKey(100 + c8 + heads), 8)
+        a = [jax.random.normal(ks[i], (b, n, c8)) for i in range(4)]
+        ef = jax.random.normal(ks[4], (b, n, 4 * c8))
+        w1 = jax.random.normal(ks[5], (4, c8, 3 * c8)) * 0.2
+        we = jax.random.normal(ks[6], (2 * c8, 6 * c8)) * 0.2
+        bias = (jax.random.normal(ks[7], (3 * c8,)) * 0.2
+                if use_bias else None)
+        x = jnp.concatenate((*a, ef), axis=-1)
+
+        ref_out = octic_attention_fused_qkv(*a, ef, w1, we, bias, heads)
+        out = octic_attention_fused_qkv_packed(x, w1, we, bias, heads)
+        for o_r, o_f in zip(ref_out, out):
+            np.testing.assert_allclose(
+                np.asarray(o_f), np.asarray(o_r), atol=1e-5
+            )
+
+        def loss_ref(a0, a1_, a2_, a3_, ef_, w1_, we_, b_):
+            outs = octic_attention_fused_qkv(
+                a0, a1_, a2_, a3_, ef_, w1_, we_, b_, heads)
+            return sum(jnp.sum(o ** 2) for o in outs)
+
+        def loss_packed(x_, w1_, we_, b_):
+            outs = octic_attention_fused_qkv_packed(x_, w1_, we_, b_, heads)
+            return sum(jnp.sum(o ** 2) for o in outs)
+
+        nargs_r = 7 if bias is None else 8
+        gr = jax.grad(loss_ref, argnums=tuple(range(nargs_r)))(
+            *a, ef, w1, we, bias)
+        nargs_p = 3 if bias is None else 4
+        gp = jax.grad(loss_packed, argnums=tuple(range(nargs_p)))(
+            x, w1, we, bias)
+        gx_ref = jnp.concatenate(gr[:5], axis=-1)
+        np.testing.assert_allclose(
+            np.asarray(gp[0]), np.asarray(gx_ref), atol=1e-4)
+        for y, x_ in zip(gp[1:], gr[5:]):
+            np.testing.assert_allclose(np.asarray(y), np.asarray(x_),
+                                       atol=1e-4)
+
+    check(16, 2, True)
+    check(16, 2, False)
+    check(24, 3, True)  # odd head count (tail head path)

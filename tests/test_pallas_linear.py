@@ -255,3 +255,48 @@ def test_fused_mlp_module_path_matches_unfused():
     t0 = jax.tree_util.tree_structure(params)
     t1 = jax.tree_util.tree_structure(p2)
     assert t0 == t1
+
+
+def test_fused_mlp_packed_matches_tuple():
+    """mlp_d8_fused_packed on the flat container == mlp_d8_fused on the
+    split layout (fwd + all grads)."""
+    from octic_vits_tpu.ops.pallas_linear import (
+        mlp_d8_fused,
+        mlp_d8_fused_packed,
+    )
+
+    c8, h8, m = 8, 16, 12
+    ks = jax.random.split(jax.random.PRNGKey(55), 9)
+    x1 = jax.random.normal(ks[0], (4, m, c8))
+    xef = jax.random.normal(ks[1], (m, 4 * c8))
+    w1a = jax.random.normal(ks[2], (4, c8, h8)) * 0.2
+    wea = jax.random.normal(ks[3], (2 * c8, 2 * h8)) * 0.2
+    b1 = jax.random.normal(ks[4], (h8,)) * 0.2
+    w1b = jax.random.normal(ks[5], (4, h8, c8)) * 0.2
+    web = jax.random.normal(ks[6], (2 * h8, 2 * c8)) * 0.2
+    b2 = jax.random.normal(ks[7], (c8,)) * 0.2
+    x = jnp.concatenate((x1[0], x1[1], x1[2], x1[3], xef), axis=-1)
+
+    y1, yef = mlp_d8_fused(x1, xef, w1a, wea, b1, w1b, web, b2)
+    y = mlp_d8_fused_packed(x, w1a, wea, b1, w1b, web, b2)
+    y_ref = jnp.concatenate((y1[0], y1[1], y1[2], y1[3], yef), axis=-1)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-5)
+
+    def loss_ref(x1_, xef_, *ws):
+        a, e = mlp_d8_fused(x1_, xef_, *ws)
+        return jnp.sum(a ** 2) + jnp.sum(e ** 2)
+
+    def loss_packed(x_, *ws):
+        return jnp.sum(mlp_d8_fused_packed(x_, *ws) ** 2)
+
+    gr = jax.grad(loss_ref, argnums=tuple(range(8)))(
+        x1, xef, w1a, wea, b1, w1b, web, b2)
+    gp = jax.grad(loss_packed, argnums=tuple(range(7)))(
+        x, w1a, wea, b1, w1b, web, b2)
+    gx_ref = jnp.concatenate(
+        (gr[0][0], gr[0][1], gr[0][2], gr[0][3], gr[1]), axis=-1)
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gx_ref),
+                               atol=1e-4)
+    for got, exp in zip(gp[1:], gr[2:]):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(exp),
+                                   atol=1e-4)
