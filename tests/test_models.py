@@ -205,3 +205,27 @@ def test_param_count_hybrid_huge():
     )
     n = sum(np.prod(x.shape) for x in jax.tree.leaves(shapes))
     assert 340e6 < n < 372e6, f"param count {n/1e6:.1f}M out of range"
+
+
+def test_dino_octic_packed_carry_matches():
+    """OcticDinoVisionTransformer with packed_carry + packed-I/O kernels
+    reproduces the plain path, including masked tokens."""
+    kw = dict(img_size=32, patch_size=8, embed_dim=64, depth=4, num_heads=2,
+              mlp_ratio=2.0)
+    plain = OcticDinoVisionTransformer(**kw)
+    packed = OcticDinoVisionTransformer(
+        **kw, use_pallas_attention=True, use_pallas_linear=True,
+        use_pallas_std_mlp=True, packed_carry=True, fuse_mlp=True,
+        fuse_qkv=True, scan_blocks=False,
+    )
+    img = jax.random.normal(jax.random.PRNGKey(0), IMG)
+    grid = (32 // 8) ** 2
+    masks = jax.random.bernoulli(jax.random.PRNGKey(2), 0.3, (2, grid))
+    params = plain.init(jax.random.PRNGKey(1), img)
+    ref = plain.apply(params, img, masks, is_training=True)
+    got = packed.apply(params, img, masks, is_training=True)
+    for key in ("x_norm_clstoken", "x_norm_patchtokens"):
+        np.testing.assert_allclose(
+            np.asarray(got[key]), np.asarray(ref[key]), atol=1e-4,
+            err_msg=key,
+        )
