@@ -799,8 +799,12 @@ class AttentionD8(nn.Module):
             qkv_mod(dummy)
             p = self.get_variable("params", "qkv")
             if packed:
+                # tag the packed input as a remat-saved residual: it is the
+                # custom_vjp residual set (21 MB/block), so saving it makes
+                # both the norm1 recompute AND the fwd kernel call dead in
+                # the bwd replay
                 o1, o2, o3, o4, oe0, oe1 = octic_attention_fused_qkv_packed(
-                    xs.astype(dt),
+                    _checkpoint_name(xs.astype(dt), "attn_in"),
                     p["kernel_1d"].astype(dt), p["kernel_e"].astype(dt),
                     p["bias_a1"].astype(dt) if self.qkv_bias else None,
                     h,
