@@ -68,3 +68,38 @@ def test_packed_carry_matches_plain():
     ref = plain.apply(variables, img)
     out = packed.apply(variables, img)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_packed_carry_grads_match_plain():
+    """Grad parity for the packed trunk carry under scan+remat — the
+    training-path configuration of scripts/check_train_step_tpu.py --packed
+    (fwd parity alone does not exercise the packed kernels' custom VJPs
+    through the scan's backward replay). Both models use the scan trunk so
+    they share one stacked parameter tree."""
+    img = jax.random.normal(jax.random.PRNGKey(0), IMG)
+    plain = OcticVisionTransformer(**KW, scan_blocks=True)
+    packed = OcticVisionTransformer(
+        **KW,
+        scan_blocks=True, remat=True,
+        use_pallas_attention=True, use_pallas_linear=True,
+        use_pallas_std_mlp=True, packed_carry=True, fuse_mlp=True,
+        fuse_qkv=True,
+    )
+    variables = plain.init(jax.random.PRNGKey(1), img)
+
+    def loss(model, v, x):
+        return jnp.sum(model.apply(v, x) ** 2)
+
+    ref_val, ref_grad = jax.value_and_grad(
+        lambda v: loss(plain, v, img))(variables)
+    out_val, out_grad = jax.value_and_grad(
+        lambda v: loss(packed, v, img))(variables)
+    np.testing.assert_allclose(float(out_val), float(ref_val), rtol=1e-4)
+    flat_ref = jax.tree_util.tree_leaves_with_path(ref_grad)
+    flat_out = jax.tree_util.tree_leaves(out_grad)
+    assert len(flat_ref) == len(flat_out)
+    for (path, r), o in zip(flat_ref, flat_out):
+        np.testing.assert_allclose(
+            np.asarray(o), np.asarray(r), atol=5e-3, rtol=1e-3,
+            err_msg=jax.tree_util.keystr(path),
+        )
