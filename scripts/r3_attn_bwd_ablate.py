@@ -41,6 +41,9 @@ from octic_vits_tpu.utils.benchlib import measure_steps
 
 B, H, N = 64, 16, 257
 C = 1280
+if os.environ.get("R3_SMALL"):  # fast CPU/interpret parity shapes
+    B, H, N = 4, 8, 33
+    C = 320
 C8 = C // 8
 DH = C // H          # 80
 D1 = C8 // H         # 10
@@ -488,6 +491,71 @@ def k_octic_maskpair_bwd(a1, a2, b1, b2, e0, e1, g1, g2, g3, g4, ge0, ge1,
                 )
 
 
+def k_octic_maskquad_bwd(a1, a2, b1, b2, e0, e1, g1, g2, g3, g4, ge0, ge1,
+                         da1, da2, db1, db2, de0_, de1_,
+                         *, num_heads, d1, de, scale):
+    """Quad generalization of the maskpair bwd: 4 heads per loop iteration,
+    4x-wide slices at a quarter the count, per-head probs from a lane-masked
+    K (4 masks). Matmul FLOPs double vs pair (4x-wide contractions x 4
+    masks), slice/store count halves — favorable iff the kernel is still
+    slicing-bound (cost law, BENCH.md)."""
+    dtype = a1.dtype
+    refs = (a1, a2, b1, b2, e0, e1)
+    masks = _quad_masks_octic(d1, de, dtype)
+    for h in range(0, num_heads, 4):
+        qp = _octic_quad_slices(refs, h, num_heads, d1, de, 0)
+        kp = _octic_quad_slices(refs, h, num_heads, d1, de, 1)
+        vp = _octic_quad_slices(refs, h, num_heads, d1, de, 2)
+        g_pieces = []
+        for arr in (g1, g2, g3, g4):
+            g_pieces.append(arr[0][:, h * d1:(h + 4) * d1])
+        for arr in (ge0, ge1):
+            g_pieces.append(arr[0][:, h * de:(h + 4) * de])
+        gp = jnp.concatenate(g_pieces, axis=1)
+        dq = dk = dv = None
+        for m in masks:
+            km = kp * m
+            s = jax.lax.dot_general(
+                qp, km, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            ph, inv = _probs_unnormalized(s, dtype)
+            ginv = (gp.astype(jnp.float32) * inv).astype(dtype)
+            dv_m = jax.lax.dot_general(
+                ph, ginv, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dp = jax.lax.dot_general(
+                (gp * m).astype(dtype), vp, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            p32 = ph.astype(jnp.float32) * inv
+            row = jnp.sum(dp * p32, axis=1, keepdims=True)
+            ds = (p32 * (dp - row) * scale).astype(dtype)
+            dq_m = jnp.dot(ds, km, preferred_element_type=jnp.float32)
+            dk_m = jax.lax.dot_general(
+                ds, qp, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            mf = m.astype(jnp.float32)
+            dq = dq_m * mf if dq is None else dq + dq_m * mf
+            dk = dk_m * mf if dk is None else dk + dk_m * mf
+            dv = dv_m * mf if dv is None else dv + dv_m * mf
+        for s_idx, dmat in ((0, dq), (1, dk), (2, dv)):
+            for gix, arr in enumerate((da1, da2, db1, db2)):
+                off = (s_idx * num_heads + h) * d1
+                arr[0, :, off:off + 4 * d1] = (
+                    dmat[:, 4 * gix * d1:4 * (gix + 1) * d1].astype(dtype)
+                )
+            base = 16 * d1
+            for r, arr in ((0, de0_), (1, de1_)):
+                off = (s_idx * num_heads + h) * de
+                arr[0, :, off:off + 4 * de] = (
+                    dmat[:, base + r * 4 * de:base + (r + 1) * 4 * de]
+                    .astype(dtype)
+                )
+
+
 # ---------------------------------------------------------------------------
 # fused qkv+attention: the octic qkv weights are tiny (~1.2 MB, vs 9.8 MB
 # dense std — VMEM-resident only for the octic half), so the qkv matmuls
@@ -700,7 +768,7 @@ def octic_args(key, b=B):
     return ins, gs
 
 
-def call_octic_bwd(ins, gs):
+def call_octic_bwd(ins, gs, kernel=None):
     kwargs = dict(num_heads=H, d1=D1, de=DE, scale=SCALE)
     shapes = tuple(jax.ShapeDtypeStruct(x.shape, x.dtype) for x in ins)
     args = tuple(ins) + tuple(gs)
@@ -709,7 +777,8 @@ def call_octic_bwd(ins, gs):
     out_specs = tuple(pl.BlockSpec((1,) + s.shape[1:], lambda b: (b, 0, 0),
                                    memory_space=pltpu.VMEM) for s in shapes)
     return pl.pallas_call(
-        functools.partial(_octic_bwd_kernel, **kwargs), grid=(ins[0].shape[0],),
+        functools.partial(kernel or _octic_bwd_kernel, **kwargs),
+        grid=(ins[0].shape[0],),
         in_specs=in_specs, out_specs=out_specs,
         out_shape=tuple(jax.ShapeDtypeStruct(s.shape, s.dtype)
                         for s in shapes),
@@ -945,15 +1014,31 @@ def main():
 
     if "--quad-only" in sys.argv:
         ins2 = [x[:2] for x in ins]
+        gs2 = [x[:2] for x in gs]
         err = maxerr(list(call_octic_fwd(ins2)),
                      list(call_octic_fwd(ins2, kernel=k_octic_maskquad_fwd)))
         print(f"maskquad octic fwd max err: {err:.5f}", flush=True)
         assert err < 2e-2, err
+        err = maxerr(list(call_octic_bwd(ins2, gs2)),
+                     list(call_octic_bwd(ins2, gs2,
+                                         kernel=k_octic_maskquad_bwd)))
+        print(f"maskquad octic bwd max err: {err:.5f}", flush=True)
+        assert err < 2e-2, err
+        if "--check-only" in sys.argv:
+            return
         bench("octic fwd (current=maskpair)",
               lambda *a: call_octic_fwd(a), tuple(ins))
         bench("octic fwd maskquad",
               lambda *a: call_octic_fwd(a, kernel=k_octic_maskquad_fwd),
               tuple(ins))
+        ins32, gs32 = octic_args(key, b=32)
+        bench("octic bwd (current=maskpair) B=32",
+              lambda *a: call_octic_bwd(a[:6], a[6:]),
+              tuple(ins32) + tuple(gs32))
+        bench("octic bwd maskquad B=32",
+              lambda *a: call_octic_bwd(a[:6], a[6:],
+                                        kernel=k_octic_maskquad_bwd),
+              tuple(ins32) + tuple(gs32))
         return
 
     # numerics: packed/maskpair fwd+bwd match the loop kernels

@@ -26,3 +26,6 @@ echo "=== 6. train traces (remainder hunt) ==="
 timeout 2400 python scripts/trace_train.py hybrid 60 > /tmp/r3q_trace_train_hybrid.log 2>&1
 timeout 2400 python scripts/trace_train.py standard 60 > /tmp/r3q_trace_train_std.log 2>&1
 echo "queue all done"
+
+echo "=== 7. maskquad octic kernel A/B ==="
+timeout 1800 python scripts/r3_attn_bwd_ablate.py --quad-only 2>&1 | tail -8 | tee /tmp/r3q_quad.log
