@@ -130,53 +130,66 @@ def _octic_slices(refs, h, num_heads, d1, de, s_idx):
     return pieces
 
 
-def _octic_pair_masks(d1, de, dtype):
-    """Lane masks selecting the even-head (m0) / odd-head (m1) channels of
-    the PAIR column order a1[h|h+1] a2[..] b1[..] b2[..] e0[h|h+1] e1[..].
-    Built with iota arithmetic (constants would be captured consts)."""
-    w = 8 * d1 + 4 * de
+# Heads per loop iteration in the octic kernels (the masked head-GROUP
+# trick): adjacent heads are contiguous in every per-irrep array, so a
+# group of G heads costs the same SIX operand slices as one head at G
+# times the width — 1/G the Mosaic operand-copy count, the measured
+# kernel floor (BENCH.md v5e cost law). Per-head scores use a lane-masked
+# K (cross-head terms die in the contraction), so outputs are bitwise
+# identical to the per-head loop while masked-matmul FLOPs grow ~G/2 x
+# vs pairs. 2 = pairs (measured best fwd); 4 = quads (flip after the
+# r3_attn_bwd_ablate --quad-only A/B). Heads beyond the largest multiple
+# of the group run per-head.
+OCTIC_ATTN_GROUP = 2
+
+
+def _octic_group_masks(group, d1, de, dtype):
+    """Lane masks selecting head h+i's channels of the GROUP column order
+    a1[h..h+G) a2[..] b1[..] b2[..] e0[h..h+G) e1[..]. Built with iota
+    arithmetic (constants would be captured consts)."""
+    w = group * (4 * d1 + 2 * de)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
-    blk = jnp.where(col < 8 * d1, col // d1, (col - 8 * d1) // de)
-    m0 = (blk % 2 == 0).astype(dtype)
-    return m0, (1 - m0)
+    blk = jnp.where(col < 4 * group * d1, col // d1,
+                    (col - 4 * group * d1) // de)
+    return [(blk % group == i).astype(dtype) for i in range(group)]
 
 
-def _octic_pair_slices(refs, h, num_heads, d1, de, s_idx):
-    """Channel slices for heads (h, h+1) — adjacent heads are contiguous in
-    every per-irrep array, so a pair costs the same SIX slices as one head
-    at twice the width (halves the Mosaic operand-copy count, the measured
-    kernel floor — see BENCH.md v5e cost law)."""
+def _octic_group_slices(refs, h, num_heads, d1, de, s_idx, group):
+    """Channel slices for heads [h, h+group) — six slices at group x the
+    per-head width."""
     a1, a2, b1, b2, e0, e1 = refs
     pieces = []
     for arr in (a1, a2, b1, b2):
         off = (s_idx * num_heads + h) * d1
-        pieces.append(arr[0][:, off : off + 2 * d1])
+        pieces.append(arr[0][:, off : off + group * d1])
     off = (s_idx * num_heads + h) * de
-    pieces.append(e0[0][:, off : off + 2 * de])
-    pieces.append(e1[0][:, off : off + 2 * de])
+    pieces.append(e0[0][:, off : off + group * de])
+    pieces.append(e1[0][:, off : off + group * de])
     return jnp.concatenate(pieces, axis=1)
 
 
-def _pair_attn_fwd(qp, kp, vp, m0, m1, scale, dtype):
-    """Two heads' attention from pair-wide operands: per-head scores use a
-    lane-masked K (cross-head terms die under the mask), AV runs pair-wide
-    and the two results merge with full-width selects."""
-    outs = []
-    for m in (m0, m1):
+def _group_attn_fwd(qp, kp, vp, masks, scale, dtype):
+    """len(masks) heads' attention from group-wide operands: per-head
+    scores use a lane-masked K (cross-head terms die under the mask), AV
+    runs group-wide and the results merge with full-width selects."""
+    acc = None
+    for m in masks:
         s = jax.lax.dot_general(
             qp, kp * m, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
         ph, inv = _probs_unnormalized(s, dtype)
-        outs.append(jnp.dot(ph, vp, preferred_element_type=jnp.float32) * inv)
-    return outs[0] * m0.astype(jnp.float32) + outs[1] * m1.astype(jnp.float32)
+        o = jnp.dot(ph, vp, preferred_element_type=jnp.float32) * inv
+        part = o * m.astype(jnp.float32)
+        acc = part if acc is None else acc + part
+    return acc
 
 
-def _pair_attn_bwd(qp, kp, vp, gp, m0, m1, scale, dtype):
-    """Pair-wide bwd: recomputes each head's probs from the masked K; the
+def _group_attn_bwd(qp, kp, vp, gp, masks, scale, dtype):
+    """Group-wide bwd: recomputes each head's probs from the masked K; the
     off-head columns of dq/dk/dv are garbage and die in the mask merge."""
-    dqs, dks, dvs = [], [], []
-    for m in (m0, m1):
+    dq = dk = dv = None
+    for m in masks:
         km = kp * m
         s = jax.lax.dot_general(
             qp, km, (((1,), (1,)), ((), ())),
@@ -184,7 +197,7 @@ def _pair_attn_bwd(qp, kp, vp, gp, m0, m1, scale, dtype):
         ) * scale
         ph, inv = _probs_unnormalized(s, dtype)
         ginv = (gp.astype(jnp.float32) * inv).astype(dtype)
-        dv = jax.lax.dot_general(
+        dv_m = jax.lax.dot_general(
             ph, ginv, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -195,47 +208,48 @@ def _pair_attn_bwd(qp, kp, vp, gp, m0, m1, scale, dtype):
         p32 = ph.astype(jnp.float32) * inv
         row = jnp.sum(dp * p32, axis=1, keepdims=True)
         ds = (p32 * (dp - row) * scale).astype(dtype)
-        dq = jnp.dot(ds, km, preferred_element_type=jnp.float32)
-        dk = jax.lax.dot_general(
+        dq_m = jnp.dot(ds, km, preferred_element_type=jnp.float32)
+        dk_m = jax.lax.dot_general(
             ds, qp, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        dqs.append(dq)
-        dks.append(dk)
-        dvs.append(dv)
-    m0f = m0.astype(jnp.float32)
-    m1f = m1.astype(jnp.float32)
-    return (dqs[0] * m0f + dqs[1] * m1f,
-            dks[0] * m0f + dks[1] * m1f,
-            dvs[0] * m0f + dvs[1] * m1f)
+        mf = m.astype(jnp.float32)
+        dq = dq_m * mf if dq is None else dq + dq_m * mf
+        dk = dk_m * mf if dk is None else dk + dk_m * mf
+        dv = dv_m * mf if dv is None else dv + dv_m * mf
+    return dq, dk, dv
 
 
 def _octic_fwd_kernel(a1, a2, b1, b2, e0, e1, o1, o2, o3, o4, oe0, oe1,
-                      *, num_heads, d1, de, scale):
+                      *, num_heads, d1, de, scale, group=2):
     dtype = a1.dtype
     refs = (a1, a2, b1, b2, e0, e1)
     outs = (o1, o2, o3, o4)
-    # head-PAIR path (even head counts): halves the sliced-operand copies
-    # and the store count; math is bitwise-identical to the per-head loop
-    # (ablation: 1234 -> 876 us at ViT-H B=64, scripts/r3_attn_bwd_ablate.py)
-    m0, m1 = _octic_pair_masks(d1, de, dtype)
-    for h in range(0, num_heads - 1, 2):
-        qp = _octic_pair_slices(refs, h, num_heads, d1, de, 0)
-        kp = _octic_pair_slices(refs, h, num_heads, d1, de, 1)
-        vp = _octic_pair_slices(refs, h, num_heads, d1, de, 2)
-        out = _pair_attn_fwd(qp, kp, vp, m0, m1, scale, dtype)
-        for g in range(4):
-            outs[g][0, :, h * d1 : (h + 2) * d1] = (
-                out[:, 2 * g * d1 : 2 * (g + 1) * d1].astype(dtype)
-            )
-        base = 8 * d1
-        for r, oref in ((0, oe0), (1, oe1)):
-            off = base + r * 2 * de
-            oref[0, :, h * de : (h + 2) * de] = (
-                out[:, off : off + 2 * de].astype(dtype)
-            )
-    if num_heads % 2:
-        h = num_heads - 1
+    # masked head-GROUP path: 1/G the sliced-operand copies and stores;
+    # math is bitwise-identical to the per-head loop (pair ablation:
+    # 1234 -> 876 us at ViT-H B=64, scripts/r3_attn_bwd_ablate.py)
+    g_sz = min(group, num_heads)
+    main = num_heads - (num_heads % g_sz)
+    if g_sz > 1:
+        masks = _octic_group_masks(g_sz, d1, de, dtype)
+        for h in range(0, main, g_sz):
+            qp = _octic_group_slices(refs, h, num_heads, d1, de, 0, g_sz)
+            kp = _octic_group_slices(refs, h, num_heads, d1, de, 1, g_sz)
+            vp = _octic_group_slices(refs, h, num_heads, d1, de, 2, g_sz)
+            out = _group_attn_fwd(qp, kp, vp, masks, scale, dtype)
+            for g in range(4):
+                outs[g][0, :, h * d1 : (h + g_sz) * d1] = (
+                    out[:, g_sz * g * d1 : g_sz * (g + 1) * d1].astype(dtype)
+                )
+            base = 4 * g_sz * d1
+            for r, oref in ((0, oe0), (1, oe1)):
+                off = base + r * g_sz * de
+                oref[0, :, h * de : (h + g_sz) * de] = (
+                    out[:, off : off + g_sz * de].astype(dtype)
+                )
+    else:
+        main = 0
+    for h in range(main, num_heads):
         q = jnp.concatenate(_octic_slices(refs, h, num_heads, d1, de, 0), axis=1)
         k = jnp.concatenate(_octic_slices(refs, h, num_heads, d1, de, 1), axis=1)
         v = jnp.concatenate(_octic_slices(refs, h, num_heads, d1, de, 2), axis=1)
@@ -253,39 +267,45 @@ def _octic_fwd_kernel(a1, a2, b1, b2, e0, e1, o1, o2, o3, o4, oe0, oe1,
 
 def _octic_bwd_kernel(a1, a2, b1, b2, e0, e1, g1, g2, g3, g4, ge0, ge1,
                       da1, da2, db1, db2, de0_, de1_,
-                      *, num_heads, d1, de, scale):
+                      *, num_heads, d1, de, scale, group=2):
     dtype = a1.dtype
     refs = (a1, a2, b1, b2, e0, e1)
     # every (s_idx, head) writes a disjoint column slice; together they
-    # cover each output exactly once — no accumulation needed. Head-PAIR
-    # path: 2x-wide loads/stores at half the count (1740 -> 1295 us B=32)
-    m0, m1 = _octic_pair_masks(d1, de, dtype)
-    for h in range(0, num_heads - 1, 2):
-        qp = _octic_pair_slices(refs, h, num_heads, d1, de, 0)
-        kp = _octic_pair_slices(refs, h, num_heads, d1, de, 1)
-        vp = _octic_pair_slices(refs, h, num_heads, d1, de, 2)
-        g_pieces = []
-        for arr in (g1, g2, g3, g4):
-            g_pieces.append(arr[0][:, h * d1 : (h + 2) * d1])
-        for arr in (ge0, ge1):
-            g_pieces.append(arr[0][:, h * de : (h + 2) * de])
-        gp = jnp.concatenate(g_pieces, axis=1)
-        dq, dk, dv = _pair_attn_bwd(qp, kp, vp, gp, m0, m1, scale, dtype)
-        for s_idx, dmat in ((0, dq), (1, dk), (2, dv)):
-            for gix, arr in enumerate((da1, da2, db1, db2)):
-                off = (s_idx * num_heads + h) * d1
-                arr[0, :, off : off + 2 * d1] = (
-                    dmat[:, 2 * gix * d1 : 2 * (gix + 1) * d1].astype(dtype)
-                )
-            base = 8 * d1
-            for r, arr in ((0, de0_), (1, de1_)):
-                off = (s_idx * num_heads + h) * de
-                arr[0, :, off : off + 2 * de] = (
-                    dmat[:, base + r * 2 * de : base + (r + 1) * 2 * de]
-                    .astype(dtype)
-                )
-    if num_heads % 2:
-        h = num_heads - 1
+    # cover each output exactly once — no accumulation needed. Masked
+    # head-GROUP path: Gx-wide loads/stores at 1/G the count (pairs:
+    # 1740 -> 1295 us B=32)
+    g_sz = min(group, num_heads)
+    main = num_heads - (num_heads % g_sz)
+    if g_sz > 1:
+        masks = _octic_group_masks(g_sz, d1, de, dtype)
+        for h in range(0, main, g_sz):
+            qp = _octic_group_slices(refs, h, num_heads, d1, de, 0, g_sz)
+            kp = _octic_group_slices(refs, h, num_heads, d1, de, 1, g_sz)
+            vp = _octic_group_slices(refs, h, num_heads, d1, de, 2, g_sz)
+            g_pieces = []
+            for arr in (g1, g2, g3, g4):
+                g_pieces.append(arr[0][:, h * d1 : (h + g_sz) * d1])
+            for arr in (ge0, ge1):
+                g_pieces.append(arr[0][:, h * de : (h + g_sz) * de])
+            gp = jnp.concatenate(g_pieces, axis=1)
+            dq, dk, dv = _group_attn_bwd(qp, kp, vp, gp, masks, scale, dtype)
+            for s_idx, dmat in ((0, dq), (1, dk), (2, dv)):
+                for gix, arr in enumerate((da1, da2, db1, db2)):
+                    off = (s_idx * num_heads + h) * d1
+                    arr[0, :, off : off + g_sz * d1] = (
+                        dmat[:, g_sz * gix * d1 : g_sz * (gix + 1) * d1]
+                        .astype(dtype)
+                    )
+                base = 4 * g_sz * d1
+                for r, arr in ((0, de0_), (1, de1_)):
+                    off = (s_idx * num_heads + h) * de
+                    arr[0, :, off : off + g_sz * de] = (
+                        dmat[:, base + r * g_sz * de : base + (r + 1) * g_sz * de]
+                        .astype(dtype)
+                    )
+    else:
+        main = 0
+    for h in range(main, num_heads):
         q = jnp.concatenate(_octic_slices(refs, h, num_heads, d1, de, 0), axis=1)
         k = jnp.concatenate(_octic_slices(refs, h, num_heads, d1, de, 1), axis=1)
         v = jnp.concatenate(_octic_slices(refs, h, num_heads, d1, de, 2), axis=1)
@@ -354,7 +374,8 @@ def _octic_fwd(a1, a2, b1, b2, e0, e1, num_heads, interpret):
         jax.ShapeDtypeStruct((b, n, 2 * c8), a1.dtype),
         jax.ShapeDtypeStruct((b, n, 2 * c8), a1.dtype),
     )
-    kwargs = dict(num_heads=num_heads, d1=d1, de=de, scale=scale)
+    kwargs = dict(num_heads=num_heads, d1=d1, de=de, scale=scale,
+                  group=OCTIC_ATTN_GROUP)
     return _octic_call(
         _octic_fwd_kernel, 6, shapes, (a1, a2, b1, b2, e0, e1), b,
         _auto_interpret(interpret), kwargs,
@@ -377,7 +398,8 @@ def _octic_bwd_rule(num_heads, interpret, res, cots):
     scale = (c // num_heads) ** -0.5
     shapes = tuple(jax.ShapeDtypeStruct(x.shape, x.dtype)
                    for x in (a1, a2, b1, b2, e0, e1))
-    kwargs = dict(num_heads=num_heads, d1=d1, de=de, scale=scale)
+    kwargs = dict(num_heads=num_heads, d1=d1, de=de, scale=scale,
+                  group=OCTIC_ATTN_GROUP)
     douts = _octic_call(
         _octic_bwd_kernel, 6, shapes,
         (a1, a2, b1, b2, e0, e1, g1, g2, g3, g4, ge0, ge1), b,
@@ -403,16 +425,16 @@ octic_attention.defvjp(_octic_fwd_rule, _octic_bwd_rule)
 # ---------------------------------------------------------------------------
 
 
-def _pair_slices_vals(vals, h, num_heads, d1, de, s_idx):
-    """Head-pair channel slices of COMPUTED qkv values (arrays, not refs)."""
+def _group_slices_vals(vals, h, num_heads, d1, de, s_idx, group):
+    """Head-group channel slices of COMPUTED qkv values (arrays, not refs)."""
     qa1, qa2, qb1, qb2, r0, r1 = vals
     pieces = []
     for arr in (qa1, qa2, qb1, qb2):
         off = (s_idx * num_heads + h) * d1
-        pieces.append(arr[:, off : off + 2 * d1])
+        pieces.append(arr[:, off : off + group * d1])
     off = (s_idx * num_heads + h) * de
-    pieces.append(r0[:, off : off + 2 * de])
-    pieces.append(r1[:, off : off + 2 * de])
+    pieces.append(r0[:, off : off + group * de])
+    pieces.append(r1[:, off : off + group * de])
     return jnp.concatenate(pieces, axis=1)
 
 
@@ -430,7 +452,7 @@ def _head_slices_vals(vals, h, num_heads, d1, de, s_idx):
 
 def _octic_qkv_attn_kernel(a1, a2, b1, b2, ef, w1, we, bias,
                            o1, o2, o3, o4, oe0, oe1,
-                           *, num_heads, d1, de, scale, use_bias):
+                           *, num_heads, d1, de, scale, use_bias, group=2):
     dtype = a1.dtype
     c8 = a1.shape[-1]
 
@@ -450,31 +472,36 @@ def _octic_qkv_attn_kernel(a1, a2, b1, b2, ef, w1, we, bias,
     r1 = mm(ef[0][:, 2 * c8 :], we[...])
     vals = (qa1, qa2, qb1, qb2, r0, r1)
     _qkv_attn_store(vals, (o1, o2, o3, o4), oe0, oe1,
-                    num_heads, d1, de, scale, dtype)
+                    num_heads, d1, de, scale, dtype, group=group)
 
 
-def _qkv_attn_store(vals, outs, oe0, oe1, num_heads, d1, de, scale, dtype):
-    """Shared head-pair attention loop over computed qkv values, storing the
-    per-irrep outputs (used by both the tuple- and packed-input fused
-    qkv+attention kernels)."""
-    m0, m1 = _octic_pair_masks(d1, de, dtype)
-    for h in range(0, num_heads - 1, 2):
-        qp = _pair_slices_vals(vals, h, num_heads, d1, de, 0)
-        kp = _pair_slices_vals(vals, h, num_heads, d1, de, 1)
-        vp = _pair_slices_vals(vals, h, num_heads, d1, de, 2)
-        out = _pair_attn_fwd(qp, kp, vp, m0, m1, scale, dtype)
-        for g in range(4):
-            outs[g][0, :, h * d1 : (h + 2) * d1] = (
-                out[:, 2 * g * d1 : 2 * (g + 1) * d1].astype(dtype)
-            )
-        base = 8 * d1
-        for r, oref in ((0, oe0), (1, oe1)):
-            off = base + r * 2 * de
-            oref[0, :, h * de : (h + 2) * de] = (
-                out[:, off : off + 2 * de].astype(dtype)
-            )
-    if num_heads % 2:
-        h = num_heads - 1
+def _qkv_attn_store(vals, outs, oe0, oe1, num_heads, d1, de, scale, dtype,
+                    group=2):
+    """Shared masked head-group attention loop over computed qkv values,
+    storing the per-irrep outputs (used by both the tuple- and packed-input
+    fused qkv+attention kernels)."""
+    g_sz = min(group, num_heads)
+    main = num_heads - (num_heads % g_sz)
+    if g_sz > 1:
+        masks = _octic_group_masks(g_sz, d1, de, dtype)
+        for h in range(0, main, g_sz):
+            qp = _group_slices_vals(vals, h, num_heads, d1, de, 0, g_sz)
+            kp = _group_slices_vals(vals, h, num_heads, d1, de, 1, g_sz)
+            vp = _group_slices_vals(vals, h, num_heads, d1, de, 2, g_sz)
+            out = _group_attn_fwd(qp, kp, vp, masks, scale, dtype)
+            for g in range(4):
+                outs[g][0, :, h * d1 : (h + g_sz) * d1] = (
+                    out[:, g_sz * g * d1 : g_sz * (g + 1) * d1].astype(dtype)
+                )
+            base = 4 * g_sz * d1
+            for r, oref in ((0, oe0), (1, oe1)):
+                off = base + r * g_sz * de
+                oref[0, :, h * de : (h + g_sz) * de] = (
+                    out[:, off : off + g_sz * de].astype(dtype)
+                )
+    else:
+        main = 0
+    for h in range(main, num_heads):
         q = _head_slices_vals(vals, h, num_heads, d1, de, 0)
         k = _head_slices_vals(vals, h, num_heads, d1, de, 1)
         v = _head_slices_vals(vals, h, num_heads, d1, de, 2)
@@ -553,7 +580,7 @@ def _fused_fwd(a1, a2, b1, b2, ef, w1, we, bias, num_heads, interpret):
     return pl.pallas_call(
         functools.partial(
             _octic_qkv_attn_kernel, num_heads=num_heads, d1=d1, de=de,
-            scale=scale, use_bias=use_bias,
+            scale=scale, use_bias=use_bias, group=OCTIC_ATTN_GROUP,
         ),
         grid=(b,),
         in_specs=in_specs,
@@ -591,19 +618,19 @@ def _octic_qkv_attn_bwd_kernel(a1, a2, b1, b2, ef, w1, we, bias,
     vals = (qa1, mm(a2[0], w1[1]), mm(b1[0], w1[2]), mm(b2[0], w1[3]),
             mm(ef[0][:, : 2 * c8], we[...]), mm(ef[0][:, 2 * c8 :], we[...]))
 
-    m0, m1 = _octic_pair_masks(d1, de, dtype)
+    masks2 = _octic_group_masks(2, d1, de, dtype)
     # dqkv pieces per (irrep, s) in head order; concatenated below into the
     # same s-major channel layout the weights use
     p1d = [[[] for _ in range(3)] for _ in range(4)]
     pe = [[[] for _ in range(3)] for _ in range(2)]
     for h in range(0, num_heads - 1, 2):
-        qp = _pair_slices_vals(vals, h, num_heads, d1, de, 0)
-        kp = _pair_slices_vals(vals, h, num_heads, d1, de, 1)
-        vp = _pair_slices_vals(vals, h, num_heads, d1, de, 2)
+        qp = _group_slices_vals(vals, h, num_heads, d1, de, 0, 2)
+        kp = _group_slices_vals(vals, h, num_heads, d1, de, 1, 2)
+        vp = _group_slices_vals(vals, h, num_heads, d1, de, 2, 2)
         gs = [arr[0][:, h * d1 : (h + 2) * d1] for arr in (g1, g2, g3, g4)]
         gs += [arr[0][:, h * de : (h + 2) * de] for arr in (ge0, ge1)]
         gp = jnp.concatenate(gs, axis=1)
-        dq, dk, dv = _pair_attn_bwd(qp, kp, vp, gp, m0, m1, scale, dtype)
+        dq, dk, dv = _group_attn_bwd(qp, kp, vp, gp, masks2, scale, dtype)
         for s_idx, dmat in enumerate((dq, dk, dv)):
             for gix in range(4):
                 p1d[gix][s_idx].append(
@@ -848,7 +875,8 @@ octic_attention_fused_qkv.defvjp(_fused_fwd_rule, _fused_bwd_rule)
 
 def _octic_qkv_attn_kernel_packed(x, w1, we, bias,
                                   o1, o2, o3, o4, oe0, oe1,
-                                  *, num_heads, d1, de, scale, use_bias):
+                                  *, num_heads, d1, de, scale, use_bias,
+                                  group=2):
     dtype = x.dtype
     c8 = w1.shape[1]
     xb = x[0]
@@ -868,7 +896,7 @@ def _octic_qkv_attn_kernel_packed(x, w1, we, bias,
     r0 = mm(xb[:, 4 * c8 : 6 * c8], we[...])
     r1 = mm(xb[:, 6 * c8 :], we[...])
     _qkv_attn_store((qa1, qa2, qb1, qb2, r0, r1), (o1, o2, o3, o4), oe0, oe1,
-                    num_heads, d1, de, scale, dtype)
+                    num_heads, d1, de, scale, dtype, group=group)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -912,7 +940,7 @@ def _fused_packed_fwd(x, w1, we, bias, num_heads, interpret):
     return pl.pallas_call(
         functools.partial(
             _octic_qkv_attn_kernel_packed, num_heads=num_heads, d1=d1, de=de,
-            scale=scale, use_bias=use_bias,
+            scale=scale, use_bias=use_bias, group=OCTIC_ATTN_GROUP,
         ),
         grid=(b,),
         in_specs=in_specs,

@@ -464,3 +464,66 @@ def test_octic_fused_qkv_packed_matches_tuple():
     check(16, 2, True)
     check(16, 2, False)
     check(24, 3, True)  # odd head count (tail head path)
+
+
+def test_octic_attention_group4_matches_group2():
+    """OCTIC_ATTN_GROUP=4 (masked head-QUAD loop) reproduces the default
+    pair path's outputs AND grads — incl. a head count (6) that is not a
+    multiple of 4 (per-head remainder) and the fused qkv+attention path."""
+    from octic_vits_tpu.ops import pallas_attention as pa
+
+    b, n, c8 = 2, 5, 16
+
+    for heads in (4, 6, 8):
+        keys = jax.random.split(jax.random.PRNGKey(heads), 6)
+        a = [jax.random.normal(keys[i], (b, n, 3 * c8)) for i in range(4)]
+        e0 = jax.random.normal(keys[4], (b, n, 3 * 2 * c8))
+        e1 = jax.random.normal(keys[5], (b, n, 3 * 2 * c8))
+        args = (a[0], a[1], a[2], a[3], e0, e1)
+
+        def loss(t):
+            outs = octic_attention(*t, heads, True)
+            return sum(jnp.sum(jnp.sin(o)) for o in outs)
+
+        ref_out = octic_attention(*args, heads, True)
+        ref_grad = jax.grad(loss)(args)
+        old = pa.OCTIC_ATTN_GROUP
+        try:
+            pa.OCTIC_ATTN_GROUP = 4
+            out = octic_attention(*args, heads, True)
+            grad = jax.grad(loss)(args)
+        finally:
+            pa.OCTIC_ATTN_GROUP = old
+        for i in range(6):
+            np.testing.assert_allclose(
+                np.asarray(out[i]), np.asarray(ref_out[i]), atol=1e-5,
+                err_msg=f"heads={heads} out {i}",
+            )
+        for i, (x, y) in enumerate(zip(grad, ref_grad)):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), atol=1e-4,
+                err_msg=f"heads={heads} grad {i}",
+            )
+
+    # fused qkv+attention fwd under group 4
+    from octic_vits_tpu.ops.pallas_attention import octic_attention_fused_qkv
+
+    heads = 4
+    keys = jax.random.split(jax.random.PRNGKey(3), 9)
+    xa = [jax.random.normal(keys[i], (b, n, c8)) for i in range(4)]
+    ef = jax.random.normal(keys[4], (b, n, 4 * c8))
+    w1 = jax.random.normal(keys[5], (4, c8, 3 * c8)) * 0.1
+    we = jax.random.normal(keys[6], (2 * c8, 6 * c8)) * 0.1
+    bias = jax.random.normal(keys[7], (3 * c8,)) * 0.1
+    ref = octic_attention_fused_qkv(*xa, ef, w1, we, bias, heads, True)
+    old = pa.OCTIC_ATTN_GROUP
+    try:
+        pa.OCTIC_ATTN_GROUP = 4
+        out = octic_attention_fused_qkv(*xa, ef, w1, we, bias, heads, True)
+    finally:
+        pa.OCTIC_ATTN_GROUP = old
+    for i in range(6):
+        np.testing.assert_allclose(
+            np.asarray(out[i]), np.asarray(ref[i]), atol=1e-5,
+            err_msg=f"fused out {i}",
+        )
