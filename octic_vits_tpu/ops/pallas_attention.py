@@ -23,6 +23,7 @@ Two variants:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -140,7 +141,7 @@ def _octic_slices(refs, h, num_heads, d1, de, s_idx):
 # vs pairs. 2 = pairs (measured best fwd); 4 = quads (flip after the
 # r3_attn_bwd_ablate --quad-only A/B). Heads beyond the largest multiple
 # of the group run per-head.
-OCTIC_ATTN_GROUP = 2
+OCTIC_ATTN_GROUP = int(os.environ.get("OCTIC_ATTN_GROUP", "2"))
 
 
 def _octic_group_masks(group, d1, de, dtype):
