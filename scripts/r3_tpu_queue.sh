@@ -33,3 +33,4 @@ timeout 1800 python scripts/r3_attn_bwd_ablate.py --quad-only 2>&1 | tail -8 | t
 echo "=== 8. model-level group-4 A/B (inference, bench protocol) ==="
 timeout 1800 python scripts/r3_model_ab.py flat_fuseqkv 2>&1 | tail -3 | tee /tmp/r3q_g2_model.log
 OCTIC_ATTN_GROUP=4 timeout 1800 python scripts/r3_model_ab.py flat_fuseqkv 2>&1 | tail -3 | tee /tmp/r3q_g4_model.log
+OCTIC_ATTN_GROUP=8 timeout 1800 python scripts/r3_model_ab.py flat_fuseqkv 2>&1 | tail -3 | tee /tmp/r3q_g8_model.log
