@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from octic_vits_tpu.d8 import pack_8_to_5
 from octic_vits_tpu.layers.d8_layers import AttentionD8
@@ -466,10 +467,11 @@ def test_octic_fused_qkv_packed_matches_tuple():
     check(24, 3, True)  # odd head count (tail head path)
 
 
-def test_octic_attention_group4_matches_group2():
-    """OCTIC_ATTN_GROUP=4 (masked head-QUAD loop) reproduces the default
-    pair path's outputs AND grads — incl. a head count (6) that is not a
-    multiple of 4 (per-head remainder) and the fused qkv+attention path."""
+@pytest.mark.parametrize("group", [4, 8])
+def test_octic_attention_groupN_matches_group2(group):
+    """OCTIC_ATTN_GROUP in {4, 8} (masked head-GROUP loops) reproduces the
+    default pair path's outputs AND grads — incl. head counts that are not
+    multiples of the group (per-head remainder) and the fused qkv path."""
     from octic_vits_tpu.ops import pallas_attention as pa
 
     b, n, c8 = 2, 5, 16
@@ -489,7 +491,7 @@ def test_octic_attention_group4_matches_group2():
         ref_grad = jax.grad(loss)(args)
         old = pa.OCTIC_ATTN_GROUP
         try:
-            pa.OCTIC_ATTN_GROUP = 4
+            pa.OCTIC_ATTN_GROUP = group
             out = octic_attention(*args, heads, True)
             grad = jax.grad(loss)(args)
         finally:
@@ -505,7 +507,7 @@ def test_octic_attention_group4_matches_group2():
                 err_msg=f"heads={heads} grad {i}",
             )
 
-    # fused qkv+attention fwd under group 4
+    # fused qkv+attention fwd under the group under test
     from octic_vits_tpu.ops.pallas_attention import octic_attention_fused_qkv
 
     heads = 4
@@ -518,7 +520,7 @@ def test_octic_attention_group4_matches_group2():
     ref = octic_attention_fused_qkv(*xa, ef, w1, we, bias, heads, True)
     old = pa.OCTIC_ATTN_GROUP
     try:
-        pa.OCTIC_ATTN_GROUP = 4
+        pa.OCTIC_ATTN_GROUP = group
         out = octic_attention_fused_qkv(*xa, ef, w1, we, bias, heads, True)
     finally:
         pa.OCTIC_ATTN_GROUP = old
