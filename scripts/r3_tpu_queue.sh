@@ -34,3 +34,10 @@ echo "=== 8. model-level group-4 A/B (inference, bench protocol) ==="
 timeout 1800 python scripts/r3_model_ab.py flat_fuseqkv 2>&1 | tail -3 | tee /tmp/r3q_g2_model.log
 OCTIC_ATTN_GROUP=4 timeout 1800 python scripts/r3_model_ab.py flat_fuseqkv 2>&1 | tail -3 | tee /tmp/r3q_g4_model.log
 OCTIC_ATTN_GROUP=8 timeout 1800 python scripts/r3_model_ab.py flat_fuseqkv 2>&1 | tail -3 | tee /tmp/r3q_g8_model.log
+
+echo "=== 9. training A/B: attention group 4 (bwd effect) ==="
+OCTIC_ATTN_GROUP=4 timeout 1800 python scripts/check_train_step_tpu.py hybrid 32 2>&1 | tail -3 | tee /tmp/r3q_train_g4.log
+
+echo "=== 10. bench.py refresh (best-known defaults) ==="
+timeout 3600 python bench.py 2>&1 | tail -3 | tee /tmp/r3q_bench.log
+echo "queue v2 all done"
