@@ -41,3 +41,7 @@ OCTIC_ATTN_GROUP=4 timeout 1800 python scripts/check_train_step_tpu.py hybrid 32
 echo "=== 10. bench.py refresh (best-known defaults) ==="
 timeout 3600 python bench.py 2>&1 | tail -3 | tee /tmp/r3q_bench.log
 echo "queue v2 all done"
+
+echo "=== 11. packed x group-4 combo (inference) ==="
+OCTIC_ATTN_GROUP=4 timeout 1800 python scripts/r3_model_ab.py packed 2>&1 | tail -3 | tee /tmp/r3q_packed_g4.log
+echo "queue v3 all done"
