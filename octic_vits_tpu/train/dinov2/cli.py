@@ -100,21 +100,32 @@ def main(argv: Optional[List[str]] = None):
         cfg.crops.global_crops_size // cfg.student.patch_size,
         num_masking_patches=n_tokens // 2,
     )
-    sampler = iter(
-        ShardedInfiniteSampler(
-            len(dataset), shard=jax.process_index(),
-            num_shards=jax.process_count(), seed=cfg.train.seed,
+    host_batch = cfg.train.batch_size_per_gpu * jax.local_device_count()
+
+    def make_batch_iter(start_iter: int):
+        # deterministic resume: this host's stream has consumed exactly
+        # host_batch indices per completed iteration, so advance the sampler
+        # past them (reference: dinov2/data/samplers.py:174-182 + the
+        # sampler_advance plumbing in dinov2/data/loaders.py)
+        sampler = iter(
+            ShardedInfiniteSampler(
+                len(dataset), shard=jax.process_index(),
+                num_shards=jax.process_count(), seed=cfg.train.seed,
+                advance=start_iter * host_batch,
+            )
         )
-    )
-    batch_iter = ssl_batch_iterator(
-        dataset, sampler, augmenter,
-        batch_size=cfg.train.batch_size_per_gpu * jax.local_device_count(),
-        n_tokens=n_tokens, mask_generator=gen,
-        mask_probability=cfg.ibot.mask_sample_probability,
-        mask_ratio_tuple=tuple(cfg.ibot.mask_ratio_min_max),
-        rng=random.Random(cfg.train.seed + jax.process_index()),
-    )
+        return ssl_batch_iterator(
+            dataset, sampler, augmenter,
+            batch_size=host_batch,
+            n_tokens=n_tokens, mask_generator=gen,
+            mask_probability=cfg.ibot.mask_sample_probability,
+            mask_ratio_tuple=tuple(cfg.ibot.mask_ratio_min_max),
+            rng=random.Random(cfg.train.seed + jax.process_index()),
+        )
+
     return do_train(
-        arch, cfg, batch_iter, args.output_dir,
+        arch, cfg, None, args.output_dir,
         max_iter=args.max_iter, seed=cfg.train.seed,
+        make_batch_iter=make_batch_iter,
+        resume=not args.no_resume, eval_only=args.eval_only,
     )

@@ -71,16 +71,27 @@ def ssl_batch_iterator(
 def do_train(
     arch: SSLMetaArch,
     cfg,  # ConfigNode with train/optim/teacher/ibot sections
-    batch_iter: Iterator,
+    batch_iter: Optional[Iterator],
     output_dir: str,
     max_iter: Optional[int] = None,
     state: Optional[SSLState] = None,
     device_put: Callable = lambda b: b,
     log_every: int = 10,
     seed: int = 0,
+    make_batch_iter: Optional[Callable[[int], Iterator]] = None,
+    resume: bool = True,
+    eval_only: bool = False,
 ):
     """Returns the final SSLState. `batch_iter` yields collated numpy
-    batches (see `ssl_batch_iterator`)."""
+    batches (see `ssl_batch_iterator`).
+
+    `make_batch_iter(start_iter)`, when given, supersedes `batch_iter` and is
+    called AFTER checkpoint restore so the data stream can be advanced to
+    where the restored run left off (deterministic resume — the reference
+    consumes `sampler_advance` the same way, dinov2/data/samplers.py:174-182).
+    `resume=False` skips checkpoint restore (reference train.py:30-64
+    `--no-resume`); `eval_only=True` restores, exports the teacher for the
+    eval stack, and returns without training (reference train.py:60-64)."""
     lr_s, wd_s, mom_s, temp_s, last_lr_s = build_ssl_schedules(cfg)
     max_iter = max_iter or cfg.optim.epochs * cfg.train.OFFICIAL_EPOCH_LENGTH
 
@@ -97,10 +108,19 @@ def do_train(
 
     if state is None:
         state = arch.init(jax.random.PRNGKey(seed))
-        restored = ckpt.restore(state)
-        if restored is not None:
-            state = restored
+        if resume:
+            restored = ckpt.restore(state)
+            if restored is not None:
+                state = restored
     start_iter = int(state.step)
+
+    if eval_only:
+        save_teacher(output_dir, start_iter, jax.device_get(state.teacher))
+        ckpt.close()
+        return state
+
+    if make_batch_iter is not None:
+        batch_iter = make_batch_iter(start_iter)
 
     # size the mesh to divide the per-step crop batches (peek one batch)
     import itertools
@@ -153,7 +173,11 @@ def do_train(
 
         if (it + 1) % eval_period == 0:
             save_teacher(output_dir, it + 1, jax.device_get(state.teacher))
-        ckpt.save(it + 1, jax.device_get(state))
+        # ask the interval gate BEFORE device_get: pulling the full train
+        # state to host is a multi-GB transfer at ViT-H scale and must not
+        # run on the ~every-step fast path
+        if ckpt.should_save(it + 1):
+            ckpt.save(it + 1, jax.device_get(state))
 
         if guard.preempted:
             ckpt.save(it + 1, jax.device_get(state), force=True)

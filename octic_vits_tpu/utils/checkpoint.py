@@ -39,6 +39,14 @@ class CheckpointManager:
     def save(self, step: int, state: Any, force: bool = False):
         self._mgr.save(step, args=ocp.args.StandardSave(state), force=force)
 
+    def should_save(self, step: int) -> bool:
+        """Whether `save(step)` would actually write (interval gate).
+
+        Host loops must ask this BEFORE materializing state on host:
+        `jax.device_get(full train state)` is a multi-GB device->host pull
+        at ViT-H scale and must only happen on real save steps."""
+        return bool(self._mgr.should_save(step))
+
     def restore(self, state_like: Any, step: Optional[int] = None) -> Any:
         step = self.latest_step() if step is None else step
         if step is None:
