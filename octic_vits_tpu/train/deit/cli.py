@@ -49,6 +49,16 @@ def get_args_parser() -> argparse.ArgumentParser:
                    help="hflip the val images (equivariance stress)")
     p.add_argument("--finetune", default="", help="checkpoint to finetune from")
     p.add_argument("--attn-only", action="store_true")
+    p.add_argument("--accum-steps", type=int, default=1,
+                   help="gradient-accumulation microbatches per step")
+    p.add_argument("--distillation-type", default="none",
+                   choices=["none", "soft", "hard"])
+    p.add_argument("--distillation-alpha", type=float, default=0.5)
+    p.add_argument("--distillation-tau", type=float, default=1.0)
+    p.add_argument("--teacher-model", default="",
+                   help="registered model name for the distillation teacher")
+    p.add_argument("--teacher-path", default="",
+                   help="teacher checkpoint (torch .pth or orbax dir)")
     p.add_argument("--num-workers", type=int, default=10)
     p.add_argument("--max-steps", type=int, default=None)
     return p
@@ -83,6 +93,11 @@ def main(argv: Optional[List[str]] = None):
         drop_path=args.drop_path,
         ema_decay=args.model_ema_decay,
         clip_grad=args.clip_grad,
+        attn_only=args.attn_only,
+        accum_steps=args.accum_steps,
+        distillation_type=args.distillation_type,
+        distillation_alpha=args.distillation_alpha,
+        distillation_tau=args.distillation_tau,
     )
 
     rng = pyrandom.Random(args.seed)
@@ -135,8 +150,20 @@ def main(argv: Optional[List[str]] = None):
         )
         return stats
 
+    teacher = None
+    if args.distillation_type != "none":
+        if not args.teacher_model:
+            raise SystemExit("--distillation-type needs --teacher-model")
+        from octic_vits_tpu.hub import load_backbone
+
+        teacher = load_backbone(
+            args.teacher_model, checkpoint=args.teacher_path or None,
+            checkpoint_key="model", num_classes=nb_classes,
+        )
+
     return train(
         args.model, cfg, train_ds, val_ds, args.output_dir,
         img_size=args.input_size, seed=args.seed,
         num_workers=args.num_workers, max_steps=args.max_steps,
+        finetune=args.finetune, teacher=teacher,
     )

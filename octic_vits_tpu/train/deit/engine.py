@@ -59,6 +59,19 @@ class DeiTConfig:
     clip_grad: Optional[float] = 1.0
     steps_per_epoch: int = 625
     opt_eps: float = 1e-8
+    # attention-only finetuning: freeze everything but attn/norm1/cls/pos
+    # (reference: deit/main.py:318-338)
+    attn_only: bool = False
+    # optional distillation against a frozen teacher
+    # (reference: deit/losses.py:10-70, unused by the paper recipe)
+    distillation_type: str = "none"  # none | soft | hard
+    distillation_alpha: float = 0.5
+    distillation_tau: float = 1.0
+    # gradient accumulation: split the per-step batch into `accum_steps`
+    # microbatches scanned sequentially before ONE optimizer update. The
+    # reference gets its effective batch 2048 from 32 GPUs (README.md:240);
+    # on small TPU slices the same recipe needs accumulation to fit HBM.
+    accum_steps: int = 1
 
 
 def lr_schedule(cfg: DeiTConfig) -> Callable[[int], float]:
@@ -105,8 +118,20 @@ def build_optimizer(cfg: DeiTConfig, params) -> optax.GradientTransformation:
     )
 
 
-def make_deit_train_step(model, cfg: DeiTConfig, tx):
-    """step(state, images, labels, rng) -> (state, metrics); donate state."""
+def make_deit_train_step(model, cfg: DeiTConfig, tx, teacher_apply=None,
+                         trainable_mask=None):
+    """step(state, images, labels, rng) -> (state, metrics); donate state.
+
+    `teacher_apply(images) -> logits` enables distillation
+    (reference: deit/losses.py:10-70 + main.py:383-407); `trainable_mask`
+    (bool pytree, True = trainable) freezes the rest — both grads (so the
+    LAMB moments stay zero) and updates (so weight decay cannot leak into
+    frozen params) are masked (reference: deit/main.py:318-338
+    requires_grad=False semantics)."""
+    if cfg.distillation_type != "none" and teacher_apply is None:
+        raise ValueError(
+            f"distillation_type={cfg.distillation_type!r} needs teacher_apply"
+        )
 
     def loss_of(logits, targets):
         if cfg.loss_type == "bce":
@@ -128,7 +153,7 @@ def make_deit_train_step(model, cfg: DeiTConfig, tx):
         if cfg.loss_type == "bce":
             targets = jnp.clip(targets, 0.0, 1.0)
 
-        def compute(params):
+        def compute(params, images, targets, k_drop):
             rngs = {"dropout": k_drop}
             if cfg.cosub:
                 # cosub: two submodel passes, 4-term BCE
@@ -152,14 +177,63 @@ def make_deit_train_step(model, cfg: DeiTConfig, tx):
             logits = model.apply(
                 {"params": params}, images, deterministic=False, rngs=rngs
             )
-            return loss_of(logits, targets), logits
+            loss = loss_of(logits, targets)
+            if cfg.distillation_type != "none":
+                from octic_vits_tpu.train.deit.losses import distillation_loss
 
-        (loss, _), grads = jax.value_and_grad(compute, has_aux=True)(state.params)
+                loss = distillation_loss(
+                    loss, logits, teacher_apply(images),
+                    distillation_type=cfg.distillation_type,
+                    alpha=cfg.distillation_alpha, tau=cfg.distillation_tau,
+                )
+            return loss, logits
+
+        if cfg.accum_steps > 1:
+            # microbatch scan: grads averaged across chunks, ONE update.
+            # Mixup ran on the FULL batch above, so accum=k reproduces the
+            # one-big-batch step up to fp summation order.
+            k = cfg.accum_steps
+            b = images.shape[0]
+            assert b % k == 0, f"batch {b} not divisible by accum_steps {k}"
+            im = images.reshape(k, b // k, *images.shape[1:])
+            tg = targets.reshape(k, b // k, *targets.shape[1:])
+
+            def micro(carry, xs):
+                i, x, t = xs
+                (l, _), g = jax.value_and_grad(compute, has_aux=True)(
+                    state.params, x, t, jax.random.fold_in(k_drop, i)
+                )
+                gsum, lsum = carry
+                return (jax.tree.map(jnp.add, gsum, g), lsum + l), None
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            (gsum, lsum), _ = jax.lax.scan(
+                micro, (zeros, jnp.zeros((), jnp.float32)),
+                (jnp.arange(k), im, tg),
+            )
+            grads = jax.tree.map(lambda g: g / k, gsum)
+            loss = lsum / k
+        else:
+            (loss, _), grads = jax.value_and_grad(compute, has_aux=True)(
+                state.params, images, targets, k_drop
+            )
+        if trainable_mask is not None:
+            grads = jax.tree.map(
+                lambda g, t: g if t else jnp.zeros_like(g),
+                grads, trainable_mask,
+            )
         gnorm = optax.global_norm(grads)
         if cfg.clip_grad is not None:
             scale = jnp.minimum(1.0, cfg.clip_grad / (gnorm + 1e-6))
             grads = jax.tree.map(lambda g: g * scale, grads)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        if trainable_mask is not None:
+            # zero grads alone are not enough: LAMB's decoupled weight decay
+            # would still move frozen params, so mask the updates too
+            updates = jax.tree.map(
+                lambda u, t: u if t else jnp.zeros_like(u),
+                updates, trainable_mask,
+            )
         new_params = optax.apply_updates(state.params, updates)
         new_ema = state.ema_params
         if new_ema is not None:

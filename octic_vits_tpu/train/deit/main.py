@@ -64,7 +64,13 @@ def train(
     model_kwargs: Optional[dict] = None,
     num_workers: int = 8,
     max_steps: Optional[int] = None,
+    finetune: str = "",
+    teacher: Optional[tuple] = None,
 ):
+    """`finetune` loads a pretrained checkpoint (orbax dir or torch .pth)
+    with head-drop + pos-embed interpolation (reference: deit/main.py:
+    282-338); `teacher=(model, params)` enables cfg.distillation_type
+    (reference: deit/main.py:383-407)."""
     os.makedirs(output_dir, exist_ok=True)
     kwargs = dict(model_kwargs or {})
     if jax.default_backend() not in ("cpu",):
@@ -81,6 +87,19 @@ def train(
     rng = jax.random.PRNGKey(seed)
     sample = jnp.zeros((1, img_size, img_size, 3))
     params = model.init(rng, sample)["params"]
+    if finetune:
+        from octic_vits_tpu.utils.finetune import load_pretrained_for_finetune
+
+        params = load_pretrained_for_finetune(finetune, params)
+    trainable_mask = None
+    if cfg.attn_only:
+        from octic_vits_tpu.utils.finetune import attn_only_trainable_mask
+
+        trainable_mask = attn_only_trainable_mask(params)
+    teacher_apply = None
+    if teacher is not None:
+        t_model, t_params = teacher
+        teacher_apply = lambda x: t_model.apply({"params": t_params}, x)
     tx = build_optimizer(cfg, params)
     state = create_train_state(params, tx, ema=True)
 
@@ -94,7 +113,13 @@ def train(
 
     state_sh = state_shardings(state, mesh)
     state = jax.device_put(state, state_sh)
-    step = jax.jit(make_deit_train_step(model, cfg, tx), donate_argnums=(0,))
+    step = jax.jit(
+        make_deit_train_step(
+            model, cfg, tx, teacher_apply=teacher_apply,
+            trainable_mask=trainable_mask,
+        ),
+        donate_argnums=(0,),
+    )
     eval_step = jax.jit(make_eval_step(model))
 
     ckpt = CheckpointManager(os.path.join(output_dir, "ckpt"), max_to_keep=2)
@@ -143,17 +168,39 @@ def train(
                 batch_size=local_bs, num_workers=num_workers, drop_last=False,
             )
             stats = evaluate(model, state.params, val_loader, eval_step)
+            line = {"epoch": epoch, **stats}
+            # the paper's reported accuracy is the EMA model's — evaluate it
+            # every epoch and select "best" on it, like the reference
+            # (reference: deit/main.py:344-351,482-511)
+            select_acc = stats["acc1"]
+            if state.ema_params is not None:
+                val_loader = DataLoader(
+                    val_dataset, EpochSampler(len(val_dataset)),
+                    batch_size=local_bs, num_workers=num_workers,
+                    drop_last=False,
+                )
+                ema_stats = evaluate(
+                    model, state.ema_params, val_loader, eval_step
+                )
+                line.update({f"ema_{k}": v for k, v in ema_stats.items()})
+                select_acc = ema_stats["acc1"]
+                print(
+                    f"* EMA Acc@1 {ema_stats['acc1']:.3f} "
+                    f"Acc@5 {ema_stats['acc5']:.3f} "
+                    f"loss {ema_stats['loss']:.3f}", flush=True,
+                )
             print(
                 f"* Acc@1 {stats['acc1']:.3f} Acc@5 {stats['acc5']:.3f} "
                 f"loss {stats['loss']:.3f}", flush=True,
             )
             with open(os.path.join(output_dir, "log.txt"), "a") as f:
-                f.write(json.dumps({"epoch": epoch, **stats}) + "\n")
-            maybe_wandb_log({"epoch": epoch, **stats}, step=int(state.step))
-            if stats["acc1"] > best_acc:
-                best_acc = stats["acc1"]
+                f.write(json.dumps(line) + "\n")
+            maybe_wandb_log(line, step=int(state.step))
+            if select_acc > best_acc:
+                best_acc = select_acc
                 import orbax.checkpoint as ocp
 
+                # full state: both raw and EMA params travel in the export
                 best_path = os.path.abspath(os.path.join(output_dir, "best"))
                 bk = ocp.StandardCheckpointer()
                 bk.save(best_path, jax.device_get(state), force=True)
