@@ -13,6 +13,10 @@ from octic_vits_tpu.eval.attnpool import (
     train_attnpool_probe,
     train_probe_grid,
 )
+from octic_vits_tpu.eval.distributed import (
+    extract_features_sharded,
+    gather_features_across_processes,
+)
 from octic_vits_tpu.eval.knn import (
     evaluate_knn,
     extract_features,

@@ -158,10 +158,11 @@ def extract_features(
     feature_dim: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Run `apply_fn(images) -> [B, D]` over an iterator of (images, labels)
-    batches; returns stacked numpy (features, labels). The all-gather/
-    index_copy machinery of the reference (dinov2/eval/utils.py:86-146) is
-    unnecessary single-host; multi-host extraction shards the dataset by
-    process index and gathers via jax.experimental.multihost_utils."""
+    batches; returns stacked numpy (features, labels) for THIS process's
+    stream. Multi-host extraction (the reference's all_gather + index_copy,
+    dinov2/eval/utils.py:86-146) lives in eval.distributed:
+    `extract_features_sharded` shards the dataset by process index and
+    merges via multihost_utils.process_allgather."""
     feats, labels = [], []
     for images, ys in data_iter:
         f = apply_fn(images)

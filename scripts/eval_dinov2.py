@@ -55,8 +55,29 @@ def main():
     if args.mode == "knn":
         fwd_jit = jax.jit(lambda v, x: model.apply(v, x))
         fwd = lambda x: fwd_jit({"params": params}, jnp.asarray(x))
-        tr_f, tr_y = extract_features(fwd, feature_loader(args.train_data, args.batch, args.workers))
-        va_f, va_y = extract_features(fwd, feature_loader(args.val_data, args.batch, args.workers))
+        if jax.process_count() > 1:
+            # each host extracts its dataset shard, then the shards are
+            # merged on every host (reference: dinov2/eval/utils.py:86-146)
+            from octic_vits_tpu.eval.distributed import (
+                extract_features_sharded,
+            )
+
+            def ds(path):
+                return ImageFolder(
+                    path, transform=lambda im: eval_transform(im, 224)
+                )
+
+            tr_f, tr_y = extract_features_sharded(
+                fwd, ds(args.train_data), batch_size=args.batch,
+                num_workers=args.workers,
+            )
+            va_f, va_y = extract_features_sharded(
+                fwd, ds(args.val_data), batch_size=args.batch,
+                num_workers=args.workers,
+            )
+        else:
+            tr_f, tr_y = extract_features(fwd, feature_loader(args.train_data, args.batch, args.workers))
+            va_f, va_y = extract_features(fwd, feature_loader(args.val_data, args.batch, args.workers))
         res = evaluate_knn(
             tr_f, tr_y, va_f, va_y, num_classes=args.num_classes,
             n_per_class=args.n_per_class,
