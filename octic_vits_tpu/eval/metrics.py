@@ -48,11 +48,18 @@ def confusion_matrix(pred: np.ndarray, target: np.ndarray, num_classes: int,
     return cm.reshape(num_classes, num_classes)
 
 
-def miou_from_confusion(cm: np.ndarray) -> Dict[str, float]:
+def miou_from_confusion(
+    cm: np.ndarray, exclude: Sequence[int] = ()
+) -> Dict[str, float]:
     """mIoU + per-pixel acc (segmentation probing;
-    reference: dinov2/eval/segmentation/eval_segmentation.py:50-67)."""
+    reference: dinov2/eval/segmentation/eval_segmentation.py:50-67).
+    `exclude` removes ignore-label classes (e.g. ADE20K raw label 0) from
+    the macro average even when a probe predicts them."""
     inter = np.diag(cm).astype(np.float64)
     union = cm.sum(0) + cm.sum(1) - inter
     iou = np.where(union > 0, inter / np.maximum(union, 1), np.nan)
+    for c in exclude:
+        if 0 <= c < len(iou):
+            iou[c] = np.nan
     acc = inter.sum() / max(cm.sum(), 1)
     return {"miou": float(np.nanmean(iou)), "acc": float(acc)}

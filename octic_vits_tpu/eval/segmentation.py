@@ -4,15 +4,20 @@ regression probes -> mIoU.
 TPU re-design of the reference segmentation eval (reference:
 dinov2/eval/segmentation/eval_segmentation.py:50-446): patch features are
 extracted at 224^2, labels are majority-downsampled per patch, probes are a
-chunked-cdist kNN and a logistic regression (sklearn L-BFGS replacing cuML),
-and the hyper-parameter grid is evaluated sequentially (distribute across
-hosts by slicing the grid, reference :104-133).
+chunked-similarity kNN (majority vote, cosine or L2 — KNNClassifier,
+:172-278) and a logistic regression (sklearn L-BFGS replacing cuML,
+:281-337). The hyper-parameter grids default to the REFERENCE protocol
+grids — knn: num_neighbors (1,3,10,30) x distance (cosine, L2); logreg:
+C = 10**linspace(-6,5,8) — and are evaluated sequentially, distributable
+across hosts by slicing the grid round-robin (:104-133). `ignore_labels`
+follows :363: (0, 255) for ADE20K raw labels, (255,) otherwise.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, Iterable, List, Optional, Sequence, Tuple
+import itertools
+from typing import Callable, Dict, Iterable, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -22,23 +27,35 @@ from octic_vits_tpu.eval.metrics import confusion_matrix, miou_from_confusion
 
 Array = jnp.ndarray
 
+# the reference protocol grids (eval_segmentation.py:184-187 knn ctor
+# defaults; :292-296 logreg ctor defaults), expanded itertools.product-style
+DEFAULT_KNN_GRID: Tuple[Dict, ...] = tuple(
+    {"k": n, "distance": d}
+    for n, d in itertools.product((1, 3, 10, 30), ("cosine", "L2"))
+)
+DEFAULT_LOGREG_GRID: Tuple[Dict, ...] = tuple(
+    {"C": float(c), "max_iter": 1000, "tol": 1e-12}
+    for c in 10 ** np.linspace(-6, 5, 8)
+)
+
 
 def downsample_labels(
     label_map: np.ndarray, patch_size: int, num_classes: int,
-    ignore_index: int = 255,
+    ignore_labels: Sequence[int] = (255,),
 ) -> np.ndarray:
     """[H, W] pixel labels -> [h, w] per-patch majority label
-    (ignoring ignore_index; patch fully ignored -> ignore_index)."""
+    (ignoring `ignore_labels`; patch fully ignored -> 255 sentinel)."""
     h, w = label_map.shape
     gh, gw = h // patch_size, w // patch_size
     crop = label_map[: gh * patch_size, : gw * patch_size]
     patches = crop.reshape(gh, patch_size, gw, patch_size).transpose(0, 2, 1, 3)
     patches = patches.reshape(gh, gw, -1)
-    out = np.full((gh, gw), ignore_index, np.int32)
+    out = np.full((gh, gw), 255, np.int32)
+    ignore = np.asarray(ignore_labels)
     for i in range(gh):
         for j in range(gw):
             vals = patches[i, j]
-            vals = vals[vals != ignore_index]
+            vals = vals[~np.isin(vals, ignore)]
             if len(vals):
                 out[i, j] = np.bincount(vals, minlength=num_classes).argmax()
     return out
@@ -49,62 +66,84 @@ def extract_patch_features(
     images: Iterable[Tuple[np.ndarray, np.ndarray]],
     patch_size: int,
     num_classes: int,
+    ignore_labels: Sequence[int] = (255,),
 ) -> Tuple[np.ndarray, np.ndarray]:
     """feature_fn(batch NHWC) -> [B, N, D] patch features; images yields
-    (image [H,W,3] normalized, label_map [H,W])."""
+    (image [H,W,3] normalized, label_map [H,W]). Patches whose majority
+    label is ignored are dropped (reference Classifier.fit isin-mask,
+    eval_segmentation.py:78-85)."""
     feats, labels = [], []
+    drop = set(ignore_labels) | {255}
     for img, lab in images:
         f = np.asarray(feature_fn(img[None]))[0]
-        pl = downsample_labels(lab, patch_size, num_classes).flatten()
-        keep = pl != 255
+        pl = downsample_labels(
+            lab, patch_size, num_classes, ignore_labels
+        ).flatten()
+        keep = ~np.isin(pl, list(drop))
         feats.append(f.reshape(-1, f.shape[-1])[keep])
         labels.append(pl[keep])
     return np.concatenate(feats), np.concatenate(labels)
 
 
 class KNNSegProbe:
-    """Chunked-similarity kNN over patch features
-    (reference: eval_segmentation.py:172-278)."""
+    """Chunked-similarity kNN over patch features; majority vote of the k
+    nearest neighbors under cosine or L2 distance
+    (reference: eval_segmentation.py:172-278 KNNClassifier)."""
 
-    def __init__(self, k: int = 32, temperature: float = 0.07,
+    def __init__(self, k: int = 10, distance: str = "cosine",
                  num_classes: int = 150, chunk: int = 4096):
+        if distance not in ("cosine", "L2"):
+            raise ValueError(f"unsupported distance {distance!r}")
         self.k = k
-        self.t = temperature
+        self.distance = distance
         self.num_classes = num_classes
         self.chunk = chunk
 
     def fit(self, feats: np.ndarray, labels: np.ndarray):
-        f = feats / (np.linalg.norm(feats, axis=-1, keepdims=True) + 1e-12)
+        f = np.asarray(feats, np.float32)
+        if self.distance == "cosine":
+            f = f / (np.linalg.norm(f, axis=-1, keepdims=True) + 1e-12)
         self.train_feats = jnp.asarray(f)
         self.train_labels = jnp.asarray(labels)
         return self
 
     def predict(self, feats: np.ndarray) -> np.ndarray:
-        f = feats / (np.linalg.norm(feats, axis=-1, keepdims=True) + 1e-12)
+        f = np.asarray(feats, np.float32)
+        if self.distance == "cosine":
+            f = f / (np.linalg.norm(f, axis=-1, keepdims=True) + 1e-12)
         out = []
         k = min(self.k, self.train_feats.shape[0])
+        use_l2 = self.distance == "L2"
 
         @jax.jit
-        def _scores(chunk_feats):
-            sims = chunk_feats @ self.train_feats.T
-            top_s, top_i = jax.lax.top_k(sims, k)
-            w = jnp.exp(top_s / self.t)
+        def _votes(chunk_feats):
+            if use_l2:
+                # -||q-t||^2 = 2 q.t - ||t||^2 (+const in q): top_k of this
+                # orders like smallest L2 distance
+                sims = 2.0 * (chunk_feats @ self.train_feats.T) - jnp.sum(
+                    self.train_feats**2, axis=-1
+                )
+            else:
+                sims = chunk_feats @ self.train_feats.T
+            _, top_i = jax.lax.top_k(sims, k)
             onehot = jax.nn.one_hot(self.train_labels[top_i], self.num_classes)
-            return jnp.einsum("bk,bkc->bc", w, onehot)
+            return jnp.sum(onehot, axis=1)  # majority vote (reference mode)
 
         for s in range(0, len(f), self.chunk):
-            out.append(np.asarray(_scores(jnp.asarray(f[s : s + self.chunk]))))
+            out.append(np.asarray(_votes(jnp.asarray(f[s : s + self.chunk]))))
         return np.concatenate(out).argmax(-1)
 
 
 class LogregSegProbe:
     """Multinomial logistic regression probe; sklearn L-BFGS replaces the
-    reference's cuML GPU solver (reference: eval_segmentation.py:281-337)."""
+    reference's cuML GPU solver (reference: eval_segmentation.py:281-337;
+    defaults C from the grid, max_iter=1000, tol=1e-12)."""
 
-    def __init__(self, C: float = 1.0, max_iter: int = 200, num_classes: int = 150):
+    def __init__(self, C: float = 1.0, max_iter: int = 1000,
+                 tol: float = 1e-12, num_classes: int = 150):
         from sklearn.linear_model import LogisticRegression
 
-        self.clf = LogisticRegression(C=C, max_iter=max_iter)
+        self.clf = LogisticRegression(C=C, max_iter=max_iter, tol=tol)
         self.num_classes = num_classes
 
     def fit(self, feats: np.ndarray, labels: np.ndarray):
@@ -129,13 +168,18 @@ def evaluate_seg_probes(
     val_feats: np.ndarray,
     val_labels: np.ndarray,
     num_classes: int,
-    knn_grid: Sequence[Dict] = ({"k": 32}, {"k": 128}),
-    logreg_grid: Sequence[Dict] = ({"C": 0.01}, {"C": 0.1}, {"C": 1.0}),
+    knn_grid: Sequence[Dict] = DEFAULT_KNN_GRID,
+    logreg_grid: Sequence[Dict] = DEFAULT_LOGREG_GRID,
     grid_slice: Tuple[int, int] = (0, 1),  # (index, total) for multi-host split
+    ignore_labels: Sequence[int] = (255,),
 ) -> List[SegEvalResult]:
     """Run the probe grid; `grid_slice` reproduces the reference's
     round-robin split of hyper-parameters across workers
-    (reference: eval_segmentation.py:104-133)."""
+    (reference: eval_segmentation.py:104-133). Val patches whose label is
+    in `ignore_labels` are excluded from the metrics (:50-62)."""
+    keep = ~np.isin(np.asarray(val_labels), np.asarray(ignore_labels))
+    val_feats = np.asarray(val_feats)[keep]
+    val_labels = np.asarray(val_labels)[keep]
     jobs: List[Tuple[str, Dict]] = [("knn", g) for g in knn_grid] + [
         ("logreg", g) for g in logreg_grid
     ]
@@ -151,6 +195,6 @@ def evaluate_seg_probes(
         probe.fit(train_feats, train_labels)
         pred = probe.predict(val_feats)
         cm = confusion_matrix(pred, val_labels, num_classes)
-        m = miou_from_confusion(cm)
+        m = miou_from_confusion(cm, exclude=ignore_labels)
         results.append(SegEvalResult(kind, g, m["miou"], m["acc"]))
     return results

@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--dataset", choices=["ade20k", "voc2012"], default="ade20k")
     ap.add_argument("--root", required=True)
     ap.add_argument("--image-size", type=int, default=224)
+    ap.add_argument("--train-split", default="train",
+                    help="'trainaug' selects the VOC mmseg SBD-augmented set")
     ap.add_argument("--grid-index", type=int, default=0)
     ap.add_argument("--grid-total", type=int, default=1)
     args = ap.parse_args()
@@ -45,19 +47,26 @@ def main():
     def patch_feats(x):
         return _feats({"params": params}, jnp.asarray(x))
 
-    train_ds = make_seg_dataset(args.dataset, args.root, "train", args.image_size)
+    train_ds = make_seg_dataset(args.dataset, args.root, args.train_split,
+                                args.image_size)
     val_ds = make_seg_dataset(args.dataset, args.root, "val", args.image_size)
     nc = train_ds.num_classes
+    ignore = tuple(train_ds.ignore_labels)
 
     def pairs(ds):
         for i in range(len(ds)):
             yield ds[i]
 
-    tr_f, tr_y = extract_patch_features(patch_feats, pairs(train_ds), patch, nc)
-    va_f, va_y = extract_patch_features(patch_feats, pairs(val_ds), patch, nc)
+    tr_f, tr_y = extract_patch_features(
+        patch_feats, pairs(train_ds), patch, nc, ignore_labels=ignore
+    )
+    va_f, va_y = extract_patch_features(
+        patch_feats, pairs(val_ds), patch, nc, ignore_labels=ignore
+    )
     results = evaluate_seg_probes(
         tr_f, tr_y, va_f, va_y, num_classes=nc,
         grid_slice=(args.grid_index, args.grid_total),
+        ignore_labels=ignore,
     )
     for r in results:
         print(json.dumps(dict(probe=r.probe, params=r.params,

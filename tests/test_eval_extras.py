@@ -98,17 +98,96 @@ def test_seg_dataset_layouts(tmp_path):
 
     from octic_vits_tpu.data.seg_datasets import make_seg_dataset
 
-    # fabricate a 2-image ADE20K layout
+    # fabricate a 2-image ADE20K layout UNDER the archive subdir the
+    # reference creates (data.py:117-143 ADEChallengeData2016)
+    base = tmp_path / "ADEChallengeData2016"
     for sub in ["images/training", "annotations/training"]:
-        (tmp_path / sub).mkdir(parents=True)
+        (base / sub).mkdir(parents=True)
     for i in range(2):
         Image.new("RGB", (32, 32), (100, 50, 0)).save(
-            tmp_path / "images/training" / f"img{i}.jpg"
+            base / "images/training" / f"img{i}.jpg"
         )
         Image.fromarray(
             np.full((32, 32), i + 1, np.uint8)
-        ).save(tmp_path / "annotations/training" / f"img{i}.png")
+        ).save(base / "annotations/training" / f"img{i}.png")
     ds = make_seg_dataset("ade20k", str(tmp_path), "train", image_size=16)
     img, lab = ds[1]
     assert img.shape == (16, 16, 3)
-    assert lab.shape == (16, 16) and lab.max() == 1  # class 2 -> index 1
+    # labels are served RAW (0=bg ignored via ignore_labels, classes 1..150)
+    assert lab.shape == (16, 16) and lab.max() == 2
+    assert ds.ignore_labels == (0, 255)
+    assert ds.num_classes == 151
+
+
+def test_voc_trainaug_layout(tmp_path):
+    """VOC dual-root layout + mmseg trainaug split + SBD .mat targets
+    (reference: data.py:146-205)."""
+    import scipy.io
+    from PIL import Image
+
+    from octic_vits_tpu.data.seg_datasets import make_seg_dataset
+
+    ori = tmp_path / "original" / "VOCdevkit" / "VOC2012"
+    aug = tmp_path / "aug" / "benchmark_RELEASE" / "dataset"
+    for d in ["JPEGImages", "SegmentationClass", "ImageSets/Segmentation"]:
+        (ori / d).mkdir(parents=True)
+    for d in ["img", "cls"]:
+        (aug / d).mkdir(parents=True)
+
+    Image.new("RGB", (16, 16), (10, 20, 30)).save(ori / "JPEGImages/a.jpg")
+    Image.fromarray(np.full((16, 16), 3, np.uint8)).save(
+        ori / "SegmentationClass/a.png"
+    )
+    (ori / "ImageSets/Segmentation/train.txt").write_text("a\n")
+    (ori / "ImageSets/Segmentation/val.txt").write_text("a\n")
+
+    for n, v in [("b", 5), ("c", 7)]:
+        Image.new("RGB", (16, 16), (1, 2, 3)).save(aug / "img" / f"{n}.jpg")
+        scipy.io.savemat(
+            aug / "cls" / f"{n}.mat",
+            {"GTcls": {"Segmentation": np.full((16, 16), v, np.uint8)}},
+        )
+    (aug / "train.txt").write_text("b\n")
+    (aug / "val.txt").write_text("c\n")
+
+    ds = make_seg_dataset("voc2012", str(tmp_path), "trainaug", image_size=16)
+    assert len(ds) == 3  # ori train + aug train + aug val
+    labs = [ds[i][1] for i in range(3)]
+    assert [int(l.max()) for l in labs] == [3, 5, 7]
+    assert make_seg_dataset("voc2012", str(tmp_path), "train").items == ds.items[:1]
+    assert len(make_seg_dataset("voc2012", str(tmp_path), "val")) == 1
+
+
+def test_seg_grids_match_reference_protocol():
+    """Grid sizes/values must equal the reference's ctor defaults
+    (reference: eval_segmentation.py:184-187, 292-296)."""
+    from octic_vits_tpu.eval.segmentation import (
+        DEFAULT_KNN_GRID,
+        DEFAULT_LOGREG_GRID,
+    )
+
+    assert len(DEFAULT_KNN_GRID) == 8
+    assert [g["k"] for g in DEFAULT_KNN_GRID] == [1, 1, 3, 3, 10, 10, 30, 30]
+    assert {g["distance"] for g in DEFAULT_KNN_GRID} == {"cosine", "L2"}
+    assert len(DEFAULT_LOGREG_GRID) == 8
+    np.testing.assert_allclose(
+        [g["C"] for g in DEFAULT_LOGREG_GRID], 10 ** np.linspace(-6, 5, 8)
+    )
+    assert all(
+        g["max_iter"] == 1000 and g["tol"] == 1e-12 for g in DEFAULT_LOGREG_GRID
+    )
+
+
+def test_knn_seg_probe_l2_distance():
+    from octic_vits_tpu.eval.segmentation import KNNSegProbe
+
+    rng = np.random.RandomState(1)
+    centers = rng.randn(3, 6) * 5
+    tr_f = np.concatenate([centers[i] + 0.1 * rng.randn(30, 6) for i in range(3)])
+    tr_y = np.repeat(np.arange(3), 30)
+    va_f = np.concatenate([centers[i] + 0.1 * rng.randn(5, 6) for i in range(3)])
+    va_y = np.repeat(np.arange(3), 5)
+    for dist in ("cosine", "L2"):
+        probe = KNNSegProbe(k=5, distance=dist, num_classes=3)
+        pred = probe.fit(tr_f, tr_y).predict(va_f)
+        assert (pred == va_y).mean() > 0.9, dist
