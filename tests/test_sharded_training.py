@@ -120,6 +120,71 @@ def test_ema_update():
     assert float(jnp.abs(before - after).max()) > 0
 
 
+def test_standard_h16_ssl_step_zero3():
+    """The REAL standard ViT-H/16 (632M params) takes a full SSL train step
+    under ZeRO-3 (`shard_params=True`) on the 8-device mesh.
+
+    Two-sided completion of the BENCH.md single-chip memory result (the
+    standard H/16 OOMs on one 16G chip, reference comparator:
+    dinov2/fsdp/__init__.py FULL_SHARD): sharded, the framework runs it.
+    Tiny image shapes keep the FLOPs CPU-friendly; the parameter tree is
+    the full H/16.
+    """
+    import random as pyrandom
+
+    from octic_vits_tpu.train.dinov2.masking import (
+        MaskingGenerator, collate_crops_and_masks,
+    )
+    from octic_vits_tpu.train.dinov2.ssl_meta_arch import (
+        SSLConfig, SSLMetaArch,
+    )
+
+    mesh = create_mesh(fsdp=4)
+    cfg = SSLConfig(
+        arch="dinov2_vit_huge_patch16",
+        img_size=32, local_crop_size=16, patch_size=16,
+        drop_path_rate=0.0, n_local_crops=2,
+        dino_out_dim=1024, ibot_out_dim=1024,
+        compute_dtype=jnp.float32,
+        backbone_scan=True,
+    )
+    arch = SSLMetaArch(cfg)
+    # init jitted straight into the ZeRO-3 layout (unjitted 632M threefry
+    # takes minutes on one CPU core, and replicated-first doubles host mem)
+    state_shape = jax.eval_shape(arch.init, jax.random.PRNGKey(0))
+    state_sh = arch.state_shardings(state_shape, mesh, shard_params=True)
+    state = jax.jit(arch.init, out_shardings=state_sh)(jax.random.PRNGKey(0))
+    n_params = sum(x.size for x in jax.tree.leaves(state.student["backbone"]))
+    assert n_params > 600e6, "not the real ViT-H/16"
+    # fsdp-sharded leaves must actually be split
+    leaf = state.student["backbone"]["blocks"]["block"]["mlp"]["fc1"]["kernel"]
+    assert leaf.addressable_shards[0].data.shape != leaf.shape
+
+    b = 4  # 2*b global crops must divide the 8-device (data x fsdp) batch axes
+    rng = pyrandom.Random(0)
+    npr = np.random.RandomState(0)
+    n_tokens = (cfg.img_size // cfg.patch_size) ** 2
+    gen = MaskingGenerator(cfg.img_size // cfg.patch_size,
+                           num_masking_patches=n_tokens // 2)
+    batch = collate_crops_and_masks(
+        npr.randn(2 * b, 32, 32, 3).astype(np.float32),
+        npr.randn(2 * b, 16, 16, 3).astype(np.float32),
+        n_tokens, gen, rng=rng,
+    )
+    batch_sh = arch.batch_shardings(mesh)
+    batch = {k: jax.device_put(jnp.asarray(v), batch_sh[k])
+             for k, v in batch.items()}
+    sched = {"lr": 1e-4, "wd": 0.04, "last_layer_lr": 0.0,
+             "momentum": 0.992, "teacher_temp": 0.04}
+    step = jax.jit(arch.make_train_step(mesh=mesh, state_sh=state_sh),
+                   in_shardings=(state_sh, batch_sh, None, None),
+                   out_shardings=(state_sh, None),
+                   donate_argnums=(0,))
+    state, metrics = step(state, batch, sched, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert int(state.step) == 1
+
+
 def test_create_hybrid_mesh_single_slice_fallback():
     """On hosts without multi-slice topology the DCN-aware mesh equals the
     plain (data, fsdp) mesh; fsdp must divide a slice."""
