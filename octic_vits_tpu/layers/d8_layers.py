@@ -194,9 +194,14 @@ def layer_norm_d8_stats(xs: Tuple5, eps: float = 1e-5) -> Tuple5:
 
     exactly the reference formula (octic_vits/d8_layers.py:161-186), eps
     inside the sqrt, biased variances. `e` may be the flat-E container
-    ([..., 4*C/8] = [row0|row1]); each row keeps its own mean/variance."""
+    ([..., 4*C/8] = [row0|row1]); each row keeps its own mean/variance.
+
+    On the flat-E layout the backward uses the analytic custom VJP when
+    ``OCTIC_FLAT_LN_VJP=1`` (see :func:`_tuple_ln_custom`)."""
     a1, a2, b1, b2, e = xs
     flat_e = e.ndim == a1.ndim
+    if flat_e and OCTIC_FLAT_LN_VJP:
+        return _tuple_ln_custom(xs, eps)
     f32 = jnp.float32
     var = sum(jnp.var(x.astype(f32), axis=-1, keepdims=True) for x in (a1, a2, b1, b2))
 
@@ -237,27 +242,32 @@ def layer_norm_d8_stats(xs: Tuple5, eps: float = 1e-5) -> Tuple5:
     )
 
 
-def layer_norm_d8_stats_flat(x, eps: float = 1e-5):
-    """:func:`layer_norm_d8_stats` on the flat packed container
-    (d8/group.py:pack_5_to_flat layout). Per-slot reductions run as one
-    [C, 8] segment matmul (MXU; no lane-split reshapes — a [.., 8, C/8]
-    reshape relayouts the whole stream and measured ~4x slower), and the
-    per-slot means broadcast back through the transposed segment matrix.
-    Same formula: per-irrep means, shared sqrt2/4-scaled std, eps in sqrt."""
-    c = x.shape[-1]
-    c8 = c // 8
-    x32 = x.astype(jnp.float32)
-    seg = jnp.kron(jnp.eye(8, dtype=jnp.float32),
-                   jnp.ones((c8, 1), jnp.float32))      # [C, 8]
-    m8 = (x32 @ seg) / c8                               # [..., 8]
+def _flat_ln_seg(c8: int):
+    """[C, 8] slot-indicator matrix: ``x @ seg`` sums lanes per slot."""
+    return jnp.kron(jnp.eye(8, dtype=jnp.float32),
+                    jnp.ones((c8, 1), jnp.float32))
+
+
+def _flat_ln_remove_means(y32, seg, c8):
+    """Subtract per-slot means with the E-row coupling (slots 4/5 share the
+    E-row-0 mean, 6/7 the E-row-1 mean). This is the symmetric idempotent
+    projector ``P = I - (1/c8) seg C seg^T`` used by both the forward pass
+    and the analytic VJP (P^T = P)."""
+    m8 = (y32 @ seg) / c8                               # [..., 8]
     me0 = 0.5 * (m8[..., 4] + m8[..., 5])   # E row 0 spans slots 4,5
     me1 = 0.5 * (m8[..., 6] + m8[..., 7])
     mean8 = jnp.stack(
         (m8[..., 0], m8[..., 1], m8[..., 2], m8[..., 3], me0, me0, me1, me1),
         axis=-1,
     )
-    mean_full = mean8 @ seg.T                           # [..., C]
-    xc = x32 - mean_full
+    return y32 - mean8 @ seg.T
+
+
+def _flat_ln_fwd_impl(x, eps: float):
+    c8 = x.shape[-1] // 8
+    x32 = x.astype(jnp.float32)
+    seg = _flat_ln_seg(c8)
+    xc = _flat_ln_remove_means(x32, seg, c8)
     # two-pass variance (center first, then reduce squares through the same
     # segment matmul): no E[x^2]-E[x]^2 cancellation for large-mean
     # activations, matching the tuple path's jnp.var numerics
@@ -267,7 +277,173 @@ def layer_norm_d8_stats_flat(x, eps: float = 1e-5):
     var = (jnp.sum(v8[..., :4], axis=-1)
            + 0.25 * jnp.sum(v8[..., 4:], axis=-1) + eps)
     inv_std = 1.0 / (SQRT2_OVER_4 * jnp.sqrt(var))      # [...]
-    return (xc * inv_std[..., None]).astype(x.dtype)
+    out = (xc * inv_std[..., None]).astype(x.dtype)
+    return out, xc, var, inv_std
+
+
+import functools as _functools
+import os as _os
+
+# Analytic VJP for the flat LN (OCTIC_FLAT_LN_VJP=1 to enable; default is
+# the XLA-autodiff backward until the TPU A/B lands — measured-first). The
+# closed form needs only the centered activations + per-token var, so the
+# backward is ~2 fused full-width passes instead of autodiff's longer chain
+# through both segment matmuls.
+OCTIC_FLAT_LN_VJP = _os.environ.get("OCTIC_FLAT_LN_VJP", "0") == "1"
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _flat_ln_custom(x, eps: float):
+    return _flat_ln_fwd_impl(x, eps)[0]
+
+
+def _flat_ln_custom_fwd(x, eps: float):
+    out, xc, var, inv_std = _flat_ln_fwd_impl(x, eps)
+    # residuals: xc saved in the stream dtype (bf16 rounding of the centered
+    # activations perturbs the grad at ~1e-3 relative, below bf16 grad noise)
+    # + two per-token scalars
+    return out, (xc.astype(x.dtype), var, inv_std)
+
+
+def _flat_ln_custom_bwd(eps: float, res, u):
+    """dL/dx = P @ [ g * (u - (u.xc / var) * d ⊙ xc) ]  with
+    g = inv_std (already includes the sqrt2/4 factor: out = xc * g, and
+    d/dvar (1/(k sqrt(var))) = -g/(2 var) for ANY k), P the symmetric
+    mean-removal projector, and d the per-lane variance weights
+    (1/c8 on A1/A2/B1/B2 lanes, 0.25/c8 on E lanes)."""
+    xc_lo, var, inv_std = res
+    in_dtype = xc_lo.dtype  # xc is saved in the input stream dtype
+    c = xc_lo.shape[-1]
+    c8 = c // 8
+    f32 = jnp.float32
+    xc = xc_lo.astype(f32)
+    u32 = u.astype(f32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (c,), 0)
+    d = jnp.where(lane < 4 * c8, 1.0 / c8, 0.25 / c8)   # [C]
+    udotxc = jnp.sum(u32 * xc, axis=-1)                 # [...]
+    coef = (udotxc / var)[..., None]
+    dxc = inv_std[..., None] * (u32 - coef * (d * xc))
+    seg = _flat_ln_seg(c8)
+    dx = _flat_ln_remove_means(dxc, seg, c8)
+    return (dx.astype(in_dtype),)
+
+
+_flat_ln_custom.defvjp(_flat_ln_custom_fwd, _flat_ln_custom_bwd)
+
+
+def _tuple_ln_fwd_impl(xs: Tuple5, eps: float):
+    """The flat-E branch of :func:`layer_norm_d8_stats`, op-for-op (bitwise
+    value parity with the autodiff path), returning the residuals the
+    analytic backward needs."""
+    a1, a2, b1, b2, e = xs
+    f32 = jnp.float32
+    var = sum(
+        jnp.var(x.astype(f32), axis=-1, keepdims=True) for x in (a1, a2, b1, b2)
+    )
+    half = e.shape[-1] // 2
+    e32 = e.astype(f32)
+    m0 = jnp.mean(e32[..., :half], axis=-1, keepdims=True)
+    m1 = jnp.mean(e32[..., half:], axis=-1, keepdims=True)
+    v0 = jnp.var(e32[..., :half], axis=-1, keepdims=True)
+    v1 = jnp.var(e32[..., half:], axis=-1, keepdims=True)
+    var = var + 0.5 * (v0 + v1) + eps
+    std = (SQRT2_OVER_4 * jnp.sqrt(var)).astype(a1.dtype)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (e.shape[-1],), 0)
+    mean_e = jnp.where(lane < half, m0, m1).astype(a1.dtype)
+
+    def center(x):
+        return x - jnp.mean(x, axis=-1, keepdims=True)
+
+    out = (
+        center(a1) / std,
+        center(a2) / std,
+        center(b1) / std,
+        center(b2) / std,
+        (e - mean_e) / std,
+    )
+    return out, var
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _tuple_ln_custom(xs: Tuple5, eps: float) -> Tuple5:
+    return _tuple_ln_fwd_impl(xs, eps)[0]
+
+
+def _tuple_ln_custom_fwd(xs: Tuple5, eps: float):
+    out, var = _tuple_ln_fwd_impl(xs, eps)
+    # out IS xc * g — save it (stream dtype) + the per-token var instead of
+    # a separate centered copy; bwd recovers d.xc terms via out directly:
+    #   dxc = g*u - (u.out) * g * d ⊙ out   (since xc = out/g and the
+    #   (u.xc/var)*d*xc term = (u.out)*(g)*(d*out)*... see bwd)
+    return out, (out, var)
+
+
+def _tuple_ln_custom_bwd(eps: float, res, us):
+    """Analytic backward of the shared-std D8 LayerNorm on the flat-E tuple.
+
+    With out = xc * g, g = 1/(k sqrt(var)), var = sum_j d_j xc_j^2 + eps
+    (d = 1/c8 on A1/A2/B1/B2 lanes, 0.25/c8 on E lanes; biased variances):
+
+        dxc = g * (u - (u.xc / var) * d ⊙ xc)
+            = g * u - g * (u.out / var) * d ⊙ out * (1/g) * xc ... expressed
+              purely in `out`:  u.xc = (u.out)/g * g = (u.out) * (1/g) * g;
+              using xc = out/g:  (u.xc/var) * d ⊙ xc = (u.out/var) * d ⊙ out / g^2
+              and 1/g^2 = k^2 var, so dxc = g*u - g*k^2*(u.out) * d ⊙ out.
+        dx  = P dxc  (P = per-segment mean removal; symmetric, idempotent).
+    """
+    out, var = res
+    a1c, a2c, b1c, b2c, ec = out
+    u1, u2, u3, u4, ue = us
+    f32 = jnp.float32
+    c8 = a1c.shape[-1]
+    k2 = SQRT2_OVER_4 * SQRT2_OVER_4
+    g = 1.0 / (SQRT2_OVER_4 * jnp.sqrt(var))            # [..., 1] f32
+
+    udotout = sum(
+        jnp.sum(u.astype(f32) * o.astype(f32), axis=-1, keepdims=True)
+        for u, o in zip(us, out)
+    )
+    coef = g * k2 * udotout                             # [..., 1]
+
+    def bwd_part(u, o, w):
+        dxc = g * u.astype(f32) - coef * (w / c8) * o.astype(f32)
+        return dxc - jnp.mean(dxc, axis=-1, keepdims=True)
+
+    da1 = bwd_part(u1, a1c, 1.0)
+    da2 = bwd_part(u2, a2c, 1.0)
+    db1 = bwd_part(u3, b1c, 1.0)
+    db2 = bwd_part(u4, b2c, 1.0)
+
+    half = ec.shape[-1] // 2
+    dec = g * ue.astype(f32) - coef * (0.25 / c8) * ec.astype(f32)
+    me0 = jnp.mean(dec[..., :half], axis=-1, keepdims=True)
+    me1 = jnp.mean(dec[..., half:], axis=-1, keepdims=True)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (ec.shape[-1],), 0)
+    dec = dec - jnp.where(lane < half, me0, me1)
+
+    dt = a1c.dtype
+    return (
+        (da1.astype(dt), da2.astype(dt), db1.astype(dt), db2.astype(dt),
+         dec.astype(ec.dtype)),
+    )
+
+
+_tuple_ln_custom.defvjp(_tuple_ln_custom_fwd, _tuple_ln_custom_bwd)
+
+
+def layer_norm_d8_stats_flat(x, eps: float = 1e-5):
+    """:func:`layer_norm_d8_stats` on the flat packed container
+    (d8/group.py:pack_5_to_flat layout). Per-slot reductions run as one
+    [C, 8] segment matmul (MXU; no lane-split reshapes — a [.., 8, C/8]
+    reshape relayouts the whole stream and measured ~4x slower), and the
+    per-slot means broadcast back through the transposed segment matrix.
+    Same formula: per-irrep means, shared sqrt2/4-scaled std, eps in sqrt.
+
+    Training uses the analytic custom VJP above (OCTIC_FLAT_LN_VJP=0 for
+    the plain autodiff backward)."""
+    if OCTIC_FLAT_LN_VJP:
+        return _flat_ln_custom(x, eps)
+    return _flat_ln_fwd_impl(x, eps)[0]
 
 
 class LayerNormD8(nn.Module):

@@ -22,11 +22,16 @@ timeout 1800 python scripts/r3_model_ab.py flat_fuseqkv 2>&1 | tail -3 | tee /tm
 OCTIC_ATTN_GROUP=4 timeout 1800 python scripts/r3_model_ab.py flat_fuseqkv 2>&1 | tail -3 | tee /tmp/r4q_g4.log
 OCTIC_ATTN_GROUP=8 timeout 1800 python scripts/r3_model_ab.py flat_fuseqkv 2>&1 | tail -3 | tee /tmp/r4q_g8.log
 
-echo "=== 5. training A/B: baseline / packed / group-4 ==="
+echo "=== 5. training A/B: baseline / packed / group-4 / flat-LN VJP ==="
 timeout 1800 python scripts/check_train_step_tpu.py hybrid 32 2>&1 | tail -3 | tee /tmp/r4q_train_base.log
 timeout 1800 python scripts/check_train_step_tpu.py hybrid 32 --packed 2>&1 | tail -3 | tee /tmp/r4q_train_packed.log
 OCTIC_ATTN_GROUP=4 timeout 1800 python scripts/check_train_step_tpu.py hybrid 32 2>&1 | tail -3 | tee /tmp/r4q_train_g4.log
 timeout 1800 python scripts/check_train_step_tpu.py standard 32 2>&1 | tail -3 | tee /tmp/r4q_train_std.log
+# analytic LN backward (targets the 1.07 ms/block octic bwd
+# norm/ls/residual glue): covers BOTH the default flat-E tuple carry and
+# the packed flat carry
+OCTIC_FLAT_LN_VJP=1 timeout 1800 python scripts/check_train_step_tpu.py hybrid 32 2>&1 | tail -3 | tee /tmp/r4q_train_lnvjp.log
+OCTIC_FLAT_LN_VJP=1 timeout 1800 python scripts/check_train_step_tpu.py hybrid 32 --packed 2>&1 | tail -3 | tee /tmp/r4q_train_packed_lnvjp.log
 
 echo "=== 6. SSL L/16 two-sided ratio (VERDICT item 9) ==="
 timeout 2400 python scripts/bench_ssl_step.py hybrid 16 --size large 2>&1 | tail -4 | tee /tmp/r4q_ssl_hybrid_l16.log

@@ -133,6 +133,90 @@ def test_layernorm_d8_matches_torch_formula():
     np.testing.assert_allclose(out[4], ref_e, atol=1e-5)
 
 
+def test_flat_layernorm_custom_vjp_grad_parity():
+    """The analytic custom VJP of the flat packed LayerNorm matches the
+    XLA-autodiff gradient of the same forward (values bitwise, grads to
+    f32 tolerance), including non-zero means and a bf16 stream."""
+    from octic_vits_tpu.layers.d8_layers import (
+        _flat_ln_custom,
+        _flat_ln_fwd_impl,
+    )
+
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 5, 32), jnp.float32)
+    x = 3.0 * x + 1.5  # non-zero means exercise the centering projector
+    u = jax.random.normal(jax.random.PRNGKey(8), (2, 5, 32), jnp.float32)
+
+    np.testing.assert_array_equal(
+        np.asarray(_flat_ln_custom(x, 1e-5)),
+        np.asarray(_flat_ln_fwd_impl(x, 1e-5)[0]),
+    )
+
+    g_auto = jax.grad(lambda t: jnp.sum(_flat_ln_fwd_impl(t, 1e-5)[0] * u))(x)
+    g_custom = jax.jit(
+        jax.grad(lambda t: jnp.sum(_flat_ln_custom(t, 1e-5) * u))
+    )(x)
+    np.testing.assert_allclose(g_custom, g_auto, rtol=1e-4, atol=1e-5)
+
+    # bf16 stream: residuals round to bf16; grads stay near the f32 answer
+    gb = jax.grad(
+        lambda t: jnp.sum(_flat_ln_custom(t, 1e-5).astype(jnp.float32) * u)
+    )(x.astype(jnp.bfloat16))
+    np.testing.assert_allclose(
+        np.asarray(gb, dtype=np.float32), np.asarray(g_auto),
+        rtol=0.15, atol=0.05,
+    )
+
+
+def test_flat_e_tuple_layernorm_custom_vjp_grad_parity():
+    """Same check for the flat-E TUPLE LayerNorm (the scanned trunk's
+    default carry): values bitwise vs the autodiff path, analytic grads to
+    f32 tolerance on all five parts."""
+    from octic_vits_tpu.layers.d8_layers import (
+        _tuple_ln_custom,
+        _tuple_ln_fwd_impl,
+    )
+
+    c8 = 8
+    keys = jax.random.split(jax.random.PRNGKey(11), 10)
+    xs = tuple(
+        2.0 * jax.random.normal(keys[i], (2, 5, c8), jnp.float32) + 0.7
+        for i in range(4)
+    ) + (2.0 * jax.random.normal(keys[4], (2, 5, 4 * c8), jnp.float32) - 0.3,)
+    us = tuple(
+        jax.random.normal(keys[5 + i], x.shape, jnp.float32)
+        for i, x in enumerate(xs)
+    )
+
+    out_c = _tuple_ln_custom(xs, 1e-5)
+    out_a = _tuple_ln_fwd_impl(xs, 1e-5)[0]
+    for oc, oa in zip(out_c, out_a):
+        np.testing.assert_array_equal(np.asarray(oc), np.asarray(oa))
+
+    def loss(fn):
+        return lambda ts: sum(
+            jnp.sum(o * u) for o, u in zip(fn(ts, 1e-5), us)
+        )
+
+    g_auto = jax.grad(loss(lambda ts, e: _tuple_ln_fwd_impl(ts, e)[0]))(xs)
+    g_custom = jax.jit(jax.grad(loss(_tuple_ln_custom)))(xs)
+    for gc, ga in zip(g_custom, g_auto):
+        np.testing.assert_allclose(gc, ga, rtol=1e-4, atol=1e-5)
+
+    # bf16 stream stays near the f32 answer
+    xb = tuple(x.astype(jnp.bfloat16) for x in xs)
+    gb = jax.grad(
+        lambda ts: sum(
+            jnp.sum(o.astype(jnp.float32) * u)
+            for o, u in zip(_tuple_ln_custom(ts, 1e-5), us)
+        )
+    )(xb)
+    for gc, ga in zip(gb, g_auto):
+        np.testing.assert_allclose(
+            np.asarray(gc, dtype=np.float32), np.asarray(ga),
+            rtol=0.15, atol=0.05,
+        )
+
+
 def test_scale_d8_equivariance():
     xs = pack_8_to_5(rand_8tuple(jax.random.PRNGKey(4), (2, 3, 16)))
     mod = ScaleD8(init_value=0.7, use_bias=True)
