@@ -14,9 +14,13 @@ with no output because a dead TPU backend made each child hang to its full
 timeout and the retry loop had no total budget. Now:
   * ONE total wall-clock budget (default 900 s, env BENCH_BUDGET_S) enforced
     both by per-child timeouts and a process-level SIGALRM backstop;
-  * the FIRST child gets a short timeout (300 s) — a healthy backend
-    compiles + measures in ~60-90 s, so a first-child timeout means the
-    backend is dead and we fail fast;
+  * dead-backend detection is decoupled from compile time: each child prints
+    a HEARTBEAT line as soon as a trivial op completes on the backend
+    (~seconds). No heartbeat within 300 s => the backend is dead => fail
+    fast. A live child is then allowed to keep compiling up to the budget
+    (a COLD persistent cache takes ~8 min for the hybrid ViT-H; killing it
+    mid-compile would also forfeit the cache write, so patience is the only
+    correct policy);
   * this script ALWAYS prints exactly one JSON line: on success with the
     measurement, on failure with `"value": null` and an `"error"` tail.
 
@@ -88,6 +92,13 @@ def _child(which: str) -> None:
     jax.config.update("jax_compilation_cache_dir", CACHE)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    # liveness probe: completes in seconds on a healthy backend, hangs/dies
+    # on a wedged one. The parent keys its fail-fast decision off this line,
+    # NOT off total child runtime (compile on a cold cache takes ~8 min).
+    probe = jnp.ones((8, 8)) @ jnp.ones((8, 8))
+    probe.block_until_ready()
+    print(f"HEARTBEAT backend={jax.default_backend()}", flush=True)
+
     from octic_vits_tpu.models import OcticVisionTransformer, VisionTransformer
     from octic_vits_tpu.utils.benchlib import measure_steps
 
@@ -124,24 +135,76 @@ def _child(which: str) -> None:
     print(f"RESULT {BATCH / step:.4f}", flush=True)
 
 
-def _run_child(which: str, timeout: float) -> float | None:
-    """One measurement subprocess; returns img/s or None (error recorded)."""
+def _run_child(which: str, timeout: float,
+               heartbeat_timeout: float | None = None) -> float | None:
+    """One measurement subprocess; returns img/s or None (error recorded).
+
+    `heartbeat_timeout`, when set, bounds the time until the child's
+    HEARTBEAT line (backend liveness) — a much tighter deadline than the
+    full run, which may legitimately spend minutes in XLA compilation on a
+    cold persistent cache.
+    """
+    import select
+
+    def _stop(p) -> None:
+        # SIGINT first: SIGKILLing a process holding the TPU wedges the
+        # device lease for ~10-20 min, which would starve every later child
+        if p.poll() is None:
+            p.send_signal(signal.SIGINT)
+            try:
+                p.wait(timeout=15)
+            except subprocess.TimeoutExpired:
+                p.kill()
+
     timeout = min(timeout, max(_remaining(), 1.0))
+    start = time.monotonic()
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--child", which],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    lines: list[str] = []
+    beat = False
+    result: float | None = None
     try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child", which],
-            capture_output=True, text=True, timeout=timeout,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        for line in proc.stdout.splitlines():
-            if line.startswith("RESULT "):
-                return float(line.split()[1])
+        while True:
+            elapsed = time.monotonic() - start
+            if elapsed > timeout:
+                _LAST_ERR.append(f"child {which}: timeout after {timeout:.0f}s"
+                                 + ("" if beat else " (no heartbeat)"))
+                _stop(proc)
+                break
+            if (not beat and heartbeat_timeout is not None
+                    and elapsed > heartbeat_timeout):
+                _LAST_ERR.append(
+                    f"child {which}: no heartbeat within "
+                    f"{heartbeat_timeout:.0f}s (backend dead?)")
+                _stop(proc)
+                break
+            ready, _, _ = select.select([proc.stdout], [], [], 1.0)
+            if not ready:
+                if proc.poll() is not None:
+                    break
+                continue
+            line = proc.stdout.readline()
+            if not line:  # EOF
+                proc.wait(timeout=30)
+                break
+            lines.append(line.rstrip("\n"))
+            if line.startswith("HEARTBEAT "):
+                beat = True
+            elif line.startswith("RESULT "):
+                result = float(line.split()[1])
+    finally:
+        _stop(proc)
+        proc.wait()
+    if result is not None:
+        return result
+    if not _LAST_ERR or not _LAST_ERR[-1].startswith(f"child {which}"):
         _LAST_ERR.append(
             f"child {which}: no RESULT (rc={proc.returncode}): "
-            + (proc.stderr or proc.stdout)[-600:]
+            + "\n".join(lines)[-600:]
         )
-    except subprocess.TimeoutExpired:
-        _LAST_ERR.append(f"child {which}: timeout after {timeout:.0f}s")
     sys.stderr.write(f"[bench] {_LAST_ERR[-1]}\n")
     return None
 
@@ -158,13 +221,18 @@ def main() -> None:
     signal.signal(signal.SIGALRM, _alarm)
     signal.alarm(int(BUDGET_S) + 30)
 
-    # fail-fast probe: the first child doubles as measurement #1. A healthy
-    # backend finishes in ~60-90 s (warm compile cache); 300 s means dead.
-    first = _run_child("hybrid", FIRST_CHILD_TIMEOUT_S)
+    # fail-fast probe: the first child doubles as measurement #1. Liveness
+    # (HEARTBEAT line, ~seconds on a healthy backend) is bounded by
+    # FIRST_CHILD_TIMEOUT_S; a live child may then compile for up to 60% of
+    # the budget (cold persistent cache ~8 min for the hybrid), keeping the
+    # rest in reserve for the standard-baseline child.
+    first = _run_child("hybrid", max(0.6 * _remaining(), 60.0),
+                       heartbeat_timeout=FIRST_CHILD_TIMEOUT_S)
+    if first is None and "no heartbeat" in _LAST_ERR[-1]:
+        first = _run_child("hybrid", max(0.6 * _remaining(), 60.0),
+                           heartbeat_timeout=FIRST_CHILD_TIMEOUT_S)
     if first is None:
-        first = _run_child("hybrid", FIRST_CHILD_TIMEOUT_S)  # one retry
-    if first is None:
-        _fail("TPU backend unavailable or wedged (first child failed twice)")
+        _fail("TPU backend unavailable or wedged (first hybrid child failed)")
 
     # best-of-N per model, N adaptive to the remaining budget. Cross-process
     # variance on this host is a few percent, and host contention can starve

@@ -284,12 +284,14 @@ def _flat_ln_fwd_impl(x, eps: float):
 import functools as _functools
 import os as _os
 
-# Analytic VJP for the flat LN (OCTIC_FLAT_LN_VJP=1 to enable; default is
-# the XLA-autodiff backward until the TPU A/B lands — measured-first). The
-# closed form needs only the centered activations + per-token var, so the
-# backward is ~2 fused full-width passes instead of autodiff's longer chain
-# through both segment matmuls.
-OCTIC_FLAT_LN_VJP = _os.environ.get("OCTIC_FLAT_LN_VJP", "0") == "1"
+# Analytic VJP for the flat LN (OCTIC_FLAT_LN_VJP=0 to disable). Default ON
+# since the round-4 TPU A/B: hybrid ViT-H/14 train step B=32 335.2 ms
+# (autodiff bwd) -> 330.2 ms (analytic), grads parity-tested to the
+# autodiff path (tests/test_layers_equivariance.py). The closed form needs
+# only the centered activations + per-token var, so the backward is ~2
+# fused full-width passes instead of autodiff's longer chain through both
+# segment matmuls.
+OCTIC_FLAT_LN_VJP = _os.environ.get("OCTIC_FLAT_LN_VJP", "1") == "1"
 
 
 @_functools.partial(jax.custom_vjp, nondiff_argnums=(1,))

@@ -51,9 +51,13 @@ def run(which: str, b: int, iters: int = 8, size: str = "large",
         arch=ARCHS[size][which], img_size=224, local_crop_size=96,
         patch_size=16,
         drop_path_rate=0.0, n_local_crops=8, compute_dtype=jnp.bfloat16,
-        # scan+remat needed for the H/16 student fwd+bwd to fit 16G HBM
+        # scan+remat needed for the H/16 student fwd+bwd to fit 16G HBM;
+        # L/16 at B=16 also overflows by ~0.7G without remat (round-4
+        # measurement), so --remat forces it on for the two-sided L/16
+        # hybrid-vs-standard ratio (same remat policy both sides = fair)
         backbone_scan=True,
-        backbone_remat=(size == "huge" and "--no-remat" not in sys.argv),
+        backbone_remat=((size == "huge" or "--remat" in sys.argv)
+                        and "--no-remat" not in sys.argv),
     )
     arch = SSLMetaArch(cfg)
     state = arch.init(jax.random.PRNGKey(0))

@@ -26,7 +26,7 @@ echo "=== 5. training A/B: baseline / packed / group-4 / flat-LN VJP ==="
 timeout 1800 python scripts/check_train_step_tpu.py hybrid 32 2>&1 | tail -3 | tee /tmp/r4q_train_base.log
 timeout 1800 python scripts/check_train_step_tpu.py hybrid 32 --packed 2>&1 | tail -3 | tee /tmp/r4q_train_packed.log
 OCTIC_ATTN_GROUP=4 timeout 1800 python scripts/check_train_step_tpu.py hybrid 32 2>&1 | tail -3 | tee /tmp/r4q_train_g4.log
-timeout 1800 python scripts/check_train_step_tpu.py standard 32 2>&1 | tail -3 | tee /tmp/r4q_train_std.log
+timeout 1800 python scripts/check_train_step_tpu.py std 32 2>&1 | tail -3 | tee /tmp/r4q_train_std.log
 # analytic LN backward (targets the 1.07 ms/block octic bwd
 # norm/ls/residual glue): covers BOTH the default flat-E tuple carry and
 # the packed flat carry
@@ -34,8 +34,8 @@ OCTIC_FLAT_LN_VJP=1 timeout 1800 python scripts/check_train_step_tpu.py hybrid 3
 OCTIC_FLAT_LN_VJP=1 timeout 1800 python scripts/check_train_step_tpu.py hybrid 32 --packed 2>&1 | tail -3 | tee /tmp/r4q_train_packed_lnvjp.log
 
 echo "=== 6. SSL L/16 two-sided ratio (VERDICT item 9) ==="
-timeout 2400 python scripts/bench_ssl_step.py hybrid 16 --size large 2>&1 | tail -4 | tee /tmp/r4q_ssl_hybrid_l16.log
-timeout 2400 python scripts/bench_ssl_step.py standard 16 --size large 2>&1 | tail -4 | tee /tmp/r4q_ssl_std_l16.log
+timeout 2400 python scripts/bench_ssl_step.py hybrid 16 --size large 2>&1 | tail -30 | tee /tmp/r4q_ssl_hybrid_l16.log
+timeout 2400 python scripts/bench_ssl_step.py standard 16 --size large 2>&1 | tail -30 | tee /tmp/r4q_ssl_std_l16.log
 
 echo "=== 7. train traces (octic bwd glue hunt: norm/ls/residual 1.07 vs 0.48) ==="
 timeout 2400 python scripts/trace_train.py hybrid 60 > /tmp/r4q_trace_train_hybrid.log 2>&1
