@@ -185,7 +185,8 @@ class ScaleD8(nn.Module):
         )
 
 
-def layer_norm_d8_stats(xs: Tuple5, eps: float = 1e-5) -> Tuple5:
+def layer_norm_d8_stats(xs: Tuple5, eps: float = 1e-5,
+                        use_pallas: bool = False) -> Tuple5:
     """Equivariant layer norm statistics: per-irrep mean subtraction and a
     SHARED std across irreps,
 
@@ -200,6 +201,10 @@ def layer_norm_d8_stats(xs: Tuple5, eps: float = 1e-5) -> Tuple5:
     ``OCTIC_FLAT_LN_VJP=1`` (see :func:`_tuple_ln_custom`)."""
     a1, a2, b1, b2, e = xs
     flat_e = e.ndim == a1.ndim
+    if flat_e and use_pallas and OCTIC_PALLAS_LN:
+        from octic_vits_tpu.ops.pallas_ln import ln_d8_flat_tuple
+
+        return ln_d8_flat_tuple(xs, eps)
     if flat_e and OCTIC_FLAT_LN_VJP:
         return _tuple_ln_custom(xs, eps)
     f32 = jnp.float32
@@ -292,6 +297,18 @@ import os as _os
 # fused full-width passes instead of autodiff's longer chain through both
 # segment matmuls.
 OCTIC_FLAT_LN_VJP = _os.environ.get("OCTIC_FLAT_LN_VJP", "1") == "1"
+
+# Pallas LN kernel (ops/pallas_ln.py) on the flat-E tuple when the module
+# was built with use_pallas (the TPU kernel configs). The kernel keeps the
+# LN reduces OUT of XLA's layout assignment: the narrow (C/8-lane) reduces
+# of the eager path make XLA transpose the whole octic residual stream to
+# an N-in-lanes layout between every Pallas kernel boundary (~12 relayout
+# copies/block in the ViT-H/14 optimized HLO). Measured NEUTRAL end to end
+# (inference 499.1 vs 499.4 img/s, train 329.7 vs 330.2 ms at ViT-H/14 —
+# the copies overlap with kernel compute on the async DMA engines; see
+# BENCH.md "Pallas D8-LN kernel"), so default OFF; OCTIC_PALLAS_LN=1 turns
+# it on for A/Bs.
+OCTIC_PALLAS_LN = _os.environ.get("OCTIC_PALLAS_LN", "0") == "1"
 
 
 @_functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
@@ -455,11 +472,44 @@ class LayerNormD8(nn.Module):
     eps: float = 1e-5
     elementwise_affine: bool = True
     use_bias: bool = True
+    use_pallas: bool = False  # flat-E tuple: fused Pallas stats kernel
     param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, xs: Tuple5) -> Tuple5:
-        xs = layer_norm_d8_stats(xs, self.eps)
+        flat_e = (
+            isinstance(xs, (tuple, list)) and xs[4].ndim == xs[0].ndim
+        )
+        if (
+            self.use_pallas and OCTIC_PALLAS_LN and flat_e
+            and self.elementwise_affine
+        ):
+            # fused LN+affine kernel: the affine rides the kernel's stores
+            # instead of a standalone full-width pass. Params stay owned by
+            # the ScaleD8 child (materialized via a dummy call, read back),
+            # so the tree is byte-identical to the unfused path.
+            from octic_vits_tpu.ops.pallas_ln import ln_affine_d8_flat_tuple
+
+            c8 = xs[0].shape[-1]
+            dt = xs[0].dtype
+            dummy = tuple(jnp.zeros((1, 1, c8), dt) for _ in range(4)) + (
+                jnp.zeros((1, 1, 4 * c8), dt),
+            )
+            ScaleD8(
+                init_value=1.0,
+                use_bias=self.use_bias,
+                param_dtype=self.param_dtype,
+                name="affine",
+            )(dummy)
+            p = self.get_variable("params", "affine")
+            al = p["alpha_1d"]
+            ae = jnp.concatenate((p["alpha_e"], p["alpha_e"]))[None, :]
+            be = (
+                p["beta_a1"][None, :] if self.use_bias
+                else jnp.zeros((1, c8), al.dtype)
+            )
+            return ln_affine_d8_flat_tuple(xs, al, ae, be, self.eps)
+        xs = layer_norm_d8_stats(xs, self.eps, use_pallas=self.use_pallas)
         if self.elementwise_affine:
             xs = ScaleD8(
                 init_value=1.0,
@@ -1230,8 +1280,11 @@ class BlockD8(nn.Module):
             name="mlp",
             **common,
         )
-        norm1 = LayerNormD8(param_dtype=self.param_dtype, name="norm1")
-        norm2 = LayerNormD8(param_dtype=self.param_dtype, name="norm2")
+        ln_pallas = self.use_pallas_linear or self.use_pallas_attention
+        norm1 = LayerNormD8(param_dtype=self.param_dtype,
+                            use_pallas=ln_pallas, name="norm1")
+        norm2 = LayerNormD8(param_dtype=self.param_dtype,
+                            use_pallas=ln_pallas, name="norm2")
 
         if packed:
             # flat-E views: 5 plain lane slices / one concat — E never
