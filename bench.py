@@ -182,8 +182,12 @@ def _run_child(which: str, timeout: float,
         while True:
             elapsed = time.monotonic() - start
             if elapsed > timeout:
-                _LAST_ERR.append(f"child {which}: timeout after {timeout:.0f}s"
-                                 + ("" if beat else " (no heartbeat)"))
+                if result is None:
+                    # only an error if no RESULT was captured (a child that
+                    # printed RESULT and then hung in teardown is a success)
+                    _LAST_ERR.append(
+                        f"child {which}: timeout after {timeout:.0f}s"
+                        + ("" if beat else " (no heartbeat)"))
                 _stop(proc)
                 break
             if (not beat and heartbeat_timeout is not None
@@ -196,6 +200,13 @@ def _run_child(which: str, timeout: float,
             ready, _, _ = select.select([proc.stdout], [], [], 1.0)
             if not ready:
                 if proc.poll() is not None:
+                    # the OS pipe is drained but readline()'s TextIOWrapper
+                    # may still hold complete buffered lines (two lines can
+                    # arrive in one read chunk) — drain them before breaking
+                    for line in proc.stdout:
+                        lines.append(line.rstrip("\n"))
+                        if line.startswith("RESULT "):
+                            result = float(line.split()[1])
                     break
                 continue
             line = proc.stdout.readline()
@@ -235,33 +246,43 @@ def main() -> None:
 
     # fail-fast probe: the first child doubles as measurement #1. Liveness
     # (HEARTBEAT line, ~seconds on a healthy backend) is bounded by
-    # FIRST_CHILD_TIMEOUT_S; a live child may then compile for up to 60% of
+    # FIRST_CHILD_TIMEOUT_S; a live child may then compile for up to 45% of
     # the budget (cold persistent cache ~8 min for the hybrid), keeping the
     # rest in reserve for the standard-baseline child.
-    first = _run_child("hybrid", max(0.6 * _remaining(), 60.0),
+    first = _run_child("hybrid", max(0.45 * _remaining(), 60.0),
                        heartbeat_timeout=FIRST_CHILD_TIMEOUT_S)
     if first is None and "no heartbeat" in _LAST_ERR[-1]:
-        first = _run_child("hybrid", max(0.6 * _remaining(), 60.0),
+        first = _run_child("hybrid", max(0.45 * _remaining(), 60.0),
                            heartbeat_timeout=FIRST_CHILD_TIMEOUT_S)
     if first is None:
         _fail("TPU backend unavailable or wedged (first hybrid child failed)")
+
+    # the standard baseline's FIRST child gets the same long-leash treatment
+    # (round-4 lesson: a cold standard compile killed at a short timeout both
+    # loses the run AND forfeits the persistent-cache write, so the next try
+    # is just as cold). Liveness is still heartbeat-bounded.
+    std_first = _run_child("standard", max(0.9 * _remaining(), 60.0),
+                           heartbeat_timeout=FIRST_CHILD_TIMEOUT_S)
+    if std_first is None and "no heartbeat" in _LAST_ERR[-1]:
+        std_first = _run_child("standard", max(0.9 * _remaining(), 60.0),
+                               heartbeat_timeout=FIRST_CHILD_TIMEOUT_S)
+    if std_first is None:
+        _fail("no successful standard-baseline run within budget")
 
     # best-of-N per model, N adaptive to the remaining budget. Cross-process
     # variance on this host is a few percent, and host contention can starve
     # a run outright — min-time/max-ips applied symmetrically; raw runs are
     # published so round-over-round ratio moves stay attributable.
     hybrid_runs = [first]
-    standard_runs: list[float] = []
-    plan = ["standard", "hybrid", "standard", "hybrid", "standard"]
+    standard_runs: list[float] = [std_first]
+    plan = ["hybrid", "standard", "hybrid", "standard"]
     for which in plan:
-        if _remaining() < 90 and standard_runs:
+        if _remaining() < 120:
             sys.stderr.write("[bench] budget low; stopping early\n")
             break
         r = _run_child(which, 600)
         if r is not None:
             (hybrid_runs if which == "hybrid" else standard_runs).append(r)
-    if not standard_runs:
-        _fail("no successful standard-baseline run within budget")
 
     hybrid_ips = max(hybrid_runs)
     standard_ips = max(standard_runs)
