@@ -18,6 +18,18 @@ from PIL import Image
 IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
 
 
+def _apply_transform(transform: Optional[Callable], img, index: int):
+    """Pass the sample index to index-aware transforms (PerSampleRng):
+    per-sample derived RNG makes augmentation deterministic regardless of
+    loader-worker scheduling — the analog of torch DataLoader's per-worker
+    seeding (reference: dinov2/data/loaders.py:166-222 worker_init)."""
+    if transform is None:
+        return img
+    if getattr(transform, "wants_index", False):
+        return transform(img, index=index)
+    return transform(img)
+
+
 class ImageFolder:
     """Minimal torchvision-ImageFolder analog: root/<class>/<image>."""
 
@@ -46,7 +58,7 @@ class ImageFolder:
         path, target = self.samples[index]
         with Image.open(path) as img:
             img = img.convert("RGB")
-            out = self.transform(img) if self.transform else img
+            out = _apply_transform(self.transform, img, index)
         return out, target
 
 
@@ -86,7 +98,7 @@ class ImageNetExtra:
         relpath, target = self.entries[index]
         with Image.open(os.path.join(self.root, str(relpath))) as img:
             img = img.convert("RGB")
-            out = self.transform(img) if self.transform else img
+            out = _apply_transform(self.transform, img, index)
         return out, int(target)
 
 
@@ -185,7 +197,7 @@ class ImageNet22k:
 
         with Image.open(io.BytesIO(self.get_image_data(index))) as img:
             img = img.convert("RGB")
-            out = self.transform(img) if self.transform else img
+            out = _apply_transform(self.transform, img, index)
         return out, self.get_target(index)
 
 
@@ -217,7 +229,7 @@ class CIFAR100:
 
     def __getitem__(self, index: int):
         img = Image.fromarray(self.data[index])
-        out = self.transform(img) if self.transform else img
+        out = _apply_transform(self.transform, img, index)
         return out, int(self.targets[index])
 
 
@@ -274,7 +286,7 @@ class INatDataset:
         path, target = self.samples[index]
         with Image.open(path) as img:
             img = img.convert("RGB")
-            out = self.transform(img) if self.transform else img
+            out = _apply_transform(self.transform, img, index)
         return out, target
 
 

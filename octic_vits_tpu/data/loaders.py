@@ -78,8 +78,14 @@ def _proc_init(seed_base):
     # RNG state, which would replicate augmentations across workers
     import os
     import random as _random
+    import signal as _signal
 
     import numpy as _np
+
+    # pool.terminate() SIGTERMs workers; exiting without interpreter
+    # finalization avoids spurious "Fatal Python error" teardown noise from
+    # children killed mid-GC (they hold only forked read-only state)
+    _signal.signal(_signal.SIGTERM, lambda *_: os._exit(0))
 
     wid = os.getpid()
     _random.seed(seed_base ^ wid)
@@ -149,6 +155,7 @@ class DataLoader:
         pool, pmap, shutdown = self._make_pool()
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        err: list = []
 
         def produce():
             batch_idx = []
@@ -164,6 +171,11 @@ class DataLoader:
                 if batch_idx and not self.drop_last:
                     samples = list(pmap(self.dataset.__getitem__, batch_idx))
                     out_q.put(self.collate_fn(samples))
+            except BaseException as e:  # noqa: BLE001
+                # surface worker/transform failures in the consumer — a
+                # swallowed producer exception would silently end the epoch
+                # with zero batches and training would "succeed" doing nothing
+                err.append(e)
             finally:
                 out_q.put(None)
 
@@ -175,6 +187,8 @@ class DataLoader:
                 if item is None:
                     break
                 yield item
+            if err:
+                raise RuntimeError("DataLoader producer failed") from err[0]
         finally:
             stop.set()
             shutdown(wait=False)

@@ -27,6 +27,34 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 _BICUBIC = Image.BICUBIC
 
 
+class PerSampleRng:
+    """Wrap a transform `fn(img, rng=...)` with a per-sample derived RNG.
+
+    The RNG is `random.Random((seed, epoch, index))`, so augmentation is a
+    pure function of (seed, epoch, sample index) — deterministic under any
+    loader-worker scheduling and across preemption resumes. This is the
+    TPU-host analog of torch DataLoader's seeded worker_init_fn
+    (reference: dinov2/data/loaders.py:166-222); sharing one Random across
+    worker threads instead would make the stream depend on thread timing.
+    """
+
+    wants_index = True  # datasets pass index= when they see this
+
+    def __init__(self, fn, seed: int = 0):
+        self.fn = fn
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __call__(self, img, index: int = 0):
+        # explicit integer mix (random.Random accepts no tuple seeds, and
+        # this stays stable across interpreter runs unlike hash())
+        derived = (self.seed * 1_000_003 + self.epoch) * 1_000_003 + index
+        return self.fn(img, rng=random.Random(derived))
+
+
 def to_normalized_array(img: Image.Image) -> np.ndarray:
     """PIL -> float32 NHWC-normalized [H, W, 3]."""
     arr = np.asarray(img.convert("RGB"), np.float32) / 255.0
@@ -145,12 +173,51 @@ def color_jitter(
     return apply_jitter_pil(img, ops, facs)
 
 
+def random_erasing(
+    arr: np.ndarray,
+    rng: random.Random,
+    reprob: float = 0.0,
+    mode: str = "pixel",
+    count: int = 1,
+) -> np.ndarray:
+    """timm RandomErasing analog, applied post-normalization
+    (reference: deit/main.py:130-137 exposes it; the DeiT III paper recipe
+    sets reprob=0.0 — kept for flag parity). `mode`: 'pixel' fills with
+    per-pixel standard-normal noise, 'const' with zeros."""
+    import math
+
+    if reprob <= 0 or rng.random() > reprob:
+        return arr
+    h, w, c = arr.shape
+    out = arr.copy()
+    npr = np.random.RandomState(rng.randrange(2 ** 31))
+    for _ in range(count):
+        for _attempt in range(10):
+            area = h * w * rng.uniform(0.02, 1 / 3) / count
+            ratio = math.exp(rng.uniform(math.log(0.3), math.log(10 / 3)))
+            eh = int(round(math.sqrt(area * ratio)))
+            ew = int(round(math.sqrt(area / ratio)))
+            if 0 < eh < h and 0 < ew < w:
+                top = rng.randint(0, h - eh)
+                left = rng.randint(0, w - ew)
+                if mode == "pixel":
+                    patch = npr.normal(size=(eh, ew, c)).astype(out.dtype)
+                else:
+                    patch = np.zeros((eh, ew, c), out.dtype)
+                out[top:top + eh, left:left + ew] = patch
+                break
+    return out
+
+
 def three_augment(
     img: Image.Image,
     size: int = 224,
     rng: Optional[random.Random] = None,
     color_jitter_strength: float = 0.3,
     src: bool = False,
+    reprob: float = 0.0,
+    remode: str = "pixel",
+    recount: int = 1,
 ) -> np.ndarray:
     """DeiT III 3-Augment (reference: deit/augment.py:90-123)."""
     rng = rng or random
@@ -175,7 +242,10 @@ def three_augment(
             contrast=color_jitter_strength,
             saturation=color_jitter_strength,
         )
-    return to_normalized_array(img)
+    arr = to_normalized_array(img)
+    if reprob > 0:
+        arr = random_erasing(arr, rng, reprob, remode, recount)
+    return arr
 
 
 class DataAugmentationDINO:

@@ -21,15 +21,34 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--warmup-lr", type=float, default=1e-6)
     p.add_argument("--min-lr", type=float, default=1e-5)
     p.add_argument("--drop-path", type=float, default=0.45)
+    p.add_argument("--drop", type=float, default=0.0,
+                   help="backbone dropout rate (recipes use 0.0)")
     p.add_argument("--smoothing", type=float, default=0.0)
     p.add_argument("--bce-loss", action="store_true", default=True)
     p.add_argument("--cosub", action="store_true", default=False)
+    p.add_argument("--opt", default="lamb", choices=["lamb", "adamw"],
+                   help="pretraining recipe: lamb; finetuning: adamw")
+    p.add_argument("--opt-eps", type=float, default=1e-8)
+    p.add_argument("--opt-betas", type=float, nargs="+", default=None)
     p.add_argument("--mixup", type=float, default=0.8)
     p.add_argument("--cutmix", type=float, default=1.0)
+    p.add_argument("--mixup-prob", type=float, default=1.0)
+    p.add_argument("--mixup-switch-prob", type=float, default=0.5)
     p.add_argument("--color-jitter", type=float, default=0.3)
     p.add_argument("--ThreeAugment", action="store_true", default=True)
     p.add_argument("--src", action="store_true", default=False,
                    help="simple random crop instead of RRC")
+    p.add_argument("--reprob", type=float, default=0.0,
+                   help="random-erasing probability (recipes use 0.0)")
+    p.add_argument("--remode", default="pixel", choices=["pixel", "const"])
+    p.add_argument("--recount", type=int, default=1)
+    p.add_argument("--repeated-aug", action="store_true", dest="repeated_aug",
+                   default=True)
+    p.add_argument("--no-repeated-aug", action="store_false",
+                   dest="repeated_aug")
+    p.add_argument("--model-ema", action="store_true", dest="model_ema",
+                   default=True)
+    p.add_argument("--no-model-ema", action="store_false", dest="model_ema")
     p.add_argument("--model-ema-decay", type=float, default=0.99996)
     # apex FusedLAMB default max_grad_norm=1.0 (what the reference recipe
     # effectively runs with via timm create_optimizer('fusedlamb'))
@@ -66,11 +85,10 @@ def get_args_parser() -> argparse.ArgumentParser:
 
 def main(argv: Optional[List[str]] = None):
     import functools
-    import random as pyrandom
 
     from octic_vits_tpu.data.datasets import build_deit_dataset
     from octic_vits_tpu.data.transforms import (
-        eval_transform, hflip, rotate90, three_augment,
+        PerSampleRng, eval_transform, hflip, rotate90, three_augment,
     )
     from octic_vits_tpu.train.deit.engine import DeiTConfig
     from octic_vits_tpu.train.deit.main import train
@@ -88,10 +106,18 @@ def main(argv: Optional[List[str]] = None):
         loss_type="bce" if args.bce_loss else "ce",
         smoothing=args.smoothing,
         cosub=args.cosub,
+        opt=args.opt,
+        opt_eps=args.opt_eps,
+        opt_betas=tuple(args.opt_betas) if args.opt_betas else None,
         mixup_alpha=args.mixup,
         cutmix_alpha=args.cutmix,
+        mixup_prob=args.mixup_prob,
+        mixup_switch_prob=args.mixup_switch_prob,
         drop_path=args.drop_path,
+        drop=args.drop,
+        model_ema=args.model_ema,
         ema_decay=args.model_ema_decay,
+        repeated_aug=args.repeated_aug,
         clip_grad=args.clip_grad,
         attn_only=args.attn_only,
         accum_steps=args.accum_steps,
@@ -100,10 +126,15 @@ def main(argv: Optional[List[str]] = None):
         distillation_tau=args.distillation_tau,
     )
 
-    rng = pyrandom.Random(args.seed)
-    train_tf = functools.partial(
-        three_augment, size=args.input_size, rng=rng,
-        color_jitter_strength=args.color_jitter, src=args.src,
+    # per-sample derived RNG (seed, epoch, index): deterministic stream
+    # under any worker scheduling and across preemption resumes
+    train_tf = PerSampleRng(
+        functools.partial(
+            three_augment, size=args.input_size,
+            color_jitter_strength=args.color_jitter, src=args.src,
+            reprob=args.reprob, remode=args.remode, recount=args.recount,
+        ),
+        seed=args.seed,
     )
 
     def val_tf(img):

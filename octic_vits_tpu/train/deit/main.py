@@ -66,6 +66,7 @@ def train(
     max_steps: Optional[int] = None,
     finetune: str = "",
     teacher: Optional[tuple] = None,
+    metric_flush_every: int = 20,
 ):
     """`finetune` loads a pretrained checkpoint (orbax dir or torch .pth)
     with head-drop + pos-embed interpolation (reference: deit/main.py:
@@ -74,9 +75,21 @@ def train(
     os.makedirs(output_dir, exist_ok=True)
     kwargs = dict(model_kwargs or {})
     if jax.default_backend() not in ("cpu",):
+        # production TPU defaults = the measured train-step configuration
+        # (BENCH.md round-4 sweep): bf16 compute, lax.scan trunk with
+        # selective remat, Pallas kernels; flat-E carry on octic models
         kwargs.setdefault("use_pallas_attention", True)
+        kwargs.setdefault("dtype", jnp.bfloat16)
+        kwargs.setdefault("scan_blocks", True)
+        kwargs.setdefault("remat", True)
         if model_name.startswith(("hybrid", "d8", "_t")):
             kwargs.setdefault("use_pallas_linear", True)
+            kwargs.setdefault("use_pallas_std_mlp", True)
+            kwargs.setdefault("flat_e_carry", True)
+        else:
+            kwargs.setdefault("use_pallas_mlp", True)
+    if cfg.drop:
+        kwargs.setdefault("drop_rate", cfg.drop)
     model = create_model(
         model_name,
         img_size=img_size,
@@ -84,9 +97,15 @@ def train(
         num_classes=cfg.num_classes,
         **kwargs,
     )
+    # schedules are defined in epochs (reference: deit/main.py:368 uses
+    # len(data_loader)); derive steps/epoch from the actual dataset so
+    # warmup/cosine and the resume epoch arithmetic agree with the data
+    spe = max(1, len(train_dataset) // max(cfg.batch_size, 1))
+    if cfg.steps_per_epoch != spe:
+        cfg = dataclasses.replace(cfg, steps_per_epoch=spe)
     rng = jax.random.PRNGKey(seed)
     sample = jnp.zeros((1, img_size, img_size, 3))
-    params = model.init(rng, sample)["params"]
+    params = jax.jit(model.init)(rng, sample)["params"]
     if finetune:
         from octic_vits_tpu.utils.finetune import load_pretrained_for_finetune
 
@@ -101,7 +120,7 @@ def train(
         t_model, t_params = teacher
         teacher_apply = lambda x: t_model.apply({"params": t_params}, x)
     tx = build_optimizer(cfg, params)
-    state = create_train_state(params, tx, ema=True)
+    state = create_train_state(params, tx, ema=cfg.model_ema)
 
     # mesh size must divide the local batch (tiny test runs use few samples)
     n_dev = len(jax.devices())
@@ -133,15 +152,33 @@ def train(
     n_hosts = jax.process_count()
     sampler = RASampler(
         len(train_dataset), shard=jax.process_index(), num_shards=n_hosts,
-        seed=seed,
+        seed=seed, repetitions=3 if cfg.repeated_aug else 1,
     )
     local_bs = cfg.batch_size // n_hosts
     best_acc = 0.0
-    start_epoch = int(state.step) // max(cfg.steps_per_epoch, 1)
+    host_step = int(state.step)
+    start_epoch = host_step // max(cfg.steps_per_epoch, 1)
     data_sh = batch_sharding(mesh)
+
+    # Deferred metric sync: float()ing a jitted scalar blocks the host on
+    # that step's completion (~50 ms of relay per sync on remote-TPU hosts),
+    # so metrics are flushed in windows — dispatch stays async (the device
+    # pipeline is the pacer) and the in-flight batch queue stays bounded.
+    pending: list = []
+
+    def _flush():
+        for m in pending:
+            vals = {k: float(v) for k, v in m.items()}
+            if not np.isfinite(vals["loss"]):
+                raise RuntimeError(f"NaN/Inf loss at step {host_step}: {vals}")
+            logger.update(**vals)
+        pending.clear()
 
     for epoch in range(start_epoch, cfg.epochs):
         sampler.set_epoch(epoch)
+        tf = getattr(train_dataset, "transform", None)
+        if hasattr(tf, "set_epoch"):
+            tf.set_epoch(epoch)  # fresh per-sample augment stream per epoch
         loader = DataLoader(
             train_dataset, sampler, batch_size=local_bs,
             num_workers=num_workers,
@@ -150,13 +187,17 @@ def train(
             images = jax.device_put(jnp.asarray(images), data_sh)
             labels = jax.device_put(jnp.asarray(labels), data_sh)
             state, metrics = step(state, images, labels, rng)
-            logger.update(**{k: float(v) for k, v in metrics.items()})
-            if max_steps and int(state.step) >= max_steps:
+            host_step += 1
+            pending.append(metrics)
+            if len(pending) >= metric_flush_every:
+                _flush()
+            if max_steps and host_step >= max_steps:
                 break
             if guard.preempted:
                 break
+        _flush()
 
-        ckpt.save(int(state.step), jax.device_get(state), force=guard.preempted)
+        ckpt.save(host_step, jax.device_get(state), force=guard.preempted)
         if guard.preempted:
             ckpt.wait()
             print("preempted; checkpoint saved", flush=True)
@@ -195,7 +236,7 @@ def train(
             )
             with open(os.path.join(output_dir, "log.txt"), "a") as f:
                 f.write(json.dumps(line) + "\n")
-            maybe_wandb_log(line, step=int(state.step))
+            maybe_wandb_log(line, step=host_step)
             if select_acc > best_acc:
                 best_acc = select_acc
                 import orbax.checkpoint as ocp
@@ -205,7 +246,7 @@ def train(
                 bk = ocp.StandardCheckpointer()
                 bk.save(best_path, jax.device_get(state), force=True)
                 bk.wait_until_finished()
-        if max_steps and int(state.step) >= max_steps:
+        if max_steps and host_step >= max_steps:
             break
 
     ckpt.wait()
