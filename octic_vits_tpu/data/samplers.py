@@ -38,6 +38,12 @@ class RASampler:
         self.num_selected_samples = int(
             np.floor(dataset_len // 256 * 256 / num_shards)
         )
+        if repetitions == 1:
+            # --no-repeated-aug: plain DistributedSampler semantics (every
+            # sample once per epoch, padded to shards) — the 256-multiple
+            # truncation is RA-specific (reference: deit/samplers.py:33-38
+            # vs torch DistributedSampler)
+            self.num_selected_samples = self.num_samples
         if self.num_selected_samples == 0:  # tiny datasets (tests)
             self.num_selected_samples = self.num_samples
         self.epoch = 0

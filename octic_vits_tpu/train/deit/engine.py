@@ -47,6 +47,16 @@ class DeiTConfig:
     loss_type: str = "bce"          # bce | ce | soft_ce
     smoothing: float = 0.0
     cosub: bool = False
+    # optimizer selection (reference --opt via timm create_optimizer;
+    # recipes use fusedlamb for pretraining, adamw for finetuning)
+    opt: str = "lamb"               # lamb | adamw
+    opt_betas: Optional[tuple] = None
+    # --no-model-ema analog (reference: deit/main.py:56-58)
+    model_ema: bool = True
+    # backbone dropout rate (reference --drop; recipes use 0.0)
+    drop: float = 0.0
+    # RASampler on/off (reference --repeated-aug/--no-repeated-aug)
+    repeated_aug: bool = True
     mixup_alpha: float = 0.8
     cutmix_alpha: float = 1.0
     mixup_prob: float = 1.0
@@ -105,13 +115,22 @@ def no_weight_decay_mask(params, extra_names: tuple = ("pos_embed", "cls_token")
 
 
 def build_optimizer(cfg: DeiTConfig, params) -> optax.GradientTransformation:
-    """LAMB, the paper optimizer (apex fusedlamb analog;
-    reference: experiments/train_deit.py:42)."""
+    """cfg.opt selects LAMB (paper pretraining optimizer, apex fusedlamb
+    analog; reference: experiments/train_deit.py:42) or AdamW (the DeiT III
+    finetuning recipes' choice via --opt, deit/main.py:66)."""
     mask = no_weight_decay_mask(params)
+    b1, b2 = cfg.opt_betas or (0.9, 0.999)
+    if cfg.opt == "adamw":
+        return optax.adamw(
+            learning_rate=lr_schedule(cfg), b1=b1, b2=b2, eps=cfg.opt_eps,
+            weight_decay=cfg.weight_decay, mask=mask,
+        )
+    if cfg.opt != "lamb":
+        raise ValueError(f"unknown optimizer {cfg.opt!r} (lamb|adamw)")
     return optax.lamb(
         learning_rate=lr_schedule(cfg),
-        b1=0.9,
-        b2=0.999,
+        b1=b1,
+        b2=b2,
         eps=cfg.opt_eps,
         weight_decay=cfg.weight_decay,
         mask=mask,
