@@ -13,10 +13,14 @@ Reference protocol being mirrored: experiments/complexity.py:40-56 (always
 produces a table or dies fast).
 """
 
+import pytest
 import json
 import os
 import subprocess
 import sys
+
+pytestmark = pytest.mark.slow  # heavyweight lane; quick lane: -m "not slow"
+
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BENCH = os.path.join(REPO, "bench.py")

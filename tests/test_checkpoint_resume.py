@@ -1,9 +1,13 @@
 """Checkpoint save/restore round-trips (orbax) and preemption-style resume."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+
+pytestmark = pytest.mark.slow  # heavyweight lane; quick lane: -m "not slow"
+
 
 from octic_vits_tpu.train.common import TrainState, create_train_state
 from octic_vits_tpu.utils.checkpoint import (

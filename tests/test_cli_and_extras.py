@@ -1,7 +1,11 @@
 """CLI parsing, cosub loss branch, distillation, transforms, native-loader
 extras."""
 
+import pytest
 import random
+
+pytestmark = pytest.mark.slow  # heavyweight lane; quick lane: -m "not slow"
+
 
 import jax
 import jax.numpy as jnp

@@ -10,6 +10,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavyweight lane; quick lane: -m "not slow"
+
+
 from octic_vits_tpu.models import VisionTransformer
 from octic_vits_tpu.train.common import create_train_state
 from octic_vits_tpu.train.deit.engine import (

@@ -7,8 +7,12 @@ forced-CPU subprocess, so calling it from the test process is a faithful
 reproduction of the driver environment.
 """
 
+import pytest
 import os
 import sys
+
+pytestmark = pytest.mark.slow  # heavyweight lane; quick lane: -m "not slow"
+
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -1,6 +1,10 @@
 """Sharded k-NN must agree with the single-device path (8-dev CPU mesh)."""
 
+import pytest
 import numpy as np
+
+pytestmark = pytest.mark.slow  # heavyweight lane; quick lane: -m "not slow"
+
 
 from octic_vits_tpu.eval.knn import knn_classify, knn_classify_sharded
 from octic_vits_tpu.parallel import create_mesh

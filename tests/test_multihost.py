@@ -16,6 +16,9 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavyweight lane; quick lane: -m "not slow"
+
+
 
 def _free_port() -> int:
     with socket.socket() as s:

@@ -14,6 +14,9 @@ import numpy as np
 import optax
 import pytest
 
+pytestmark = pytest.mark.slow  # heavyweight lane; quick lane: -m "not slow"
+
+
 from octic_vits_tpu.models import OcticVisionTransformer
 from octic_vits_tpu.parallel import batch_sharding, create_mesh
 from octic_vits_tpu.train.common import (

@@ -9,6 +9,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavyweight lane; quick lane: -m "not slow"
+
+
 from octic_vits_tpu.models.registry import register_model
 from octic_vits_tpu.train.dinov2 import losses as L
 from octic_vits_tpu.train.dinov2.masking import (

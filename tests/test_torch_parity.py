@@ -11,6 +11,9 @@ octic_vits/model.py:25-235, octic_vits/dinov2_models.py:41-198).
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavyweight lane; quick lane: -m "not slow"
+
+
 torch = pytest.importorskip("torch")
 
 import jax  # noqa: E402

@@ -11,6 +11,9 @@ import numpy as np
 import pytest
 from PIL import Image
 
+pytestmark = pytest.mark.slow  # heavyweight lane; quick lane: -m "not slow"
+
+
 
 @pytest.fixture()
 def image_folder(tmp_path):
