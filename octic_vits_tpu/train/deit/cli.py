@@ -93,7 +93,12 @@ def main(argv: Optional[List[str]] = None):
     from octic_vits_tpu.train.deit.engine import DeiTConfig
     from octic_vits_tpu.train.deit.main import train
 
-    args = get_args_parser().parse_args(argv)
+    # get_args_parser() is add_help=False so it can be used as a parent
+    # parser (reference: deit/main.py:790 wraps it the same way).
+    parser = argparse.ArgumentParser(
+        "DeiT III training/eval", parents=[get_args_parser()]
+    )
+    args = parser.parse_args(argv)
     cfg = DeiTConfig(
         epochs=args.epochs,
         batch_size=args.batch_size,
@@ -198,3 +203,7 @@ def main(argv: Optional[List[str]] = None):
         num_workers=args.num_workers, max_steps=args.max_steps,
         finetune=args.finetune, teacher=teacher,
     )
+
+
+if __name__ == "__main__":
+    main()

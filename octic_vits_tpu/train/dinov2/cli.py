@@ -55,7 +55,12 @@ def main(argv: Optional[List[str]] = None):
     from octic_vits_tpu.train.dinov2.ssl_meta_arch import SSLConfig, SSLMetaArch
     from octic_vits_tpu.train.dinov2.train import do_train, ssl_batch_iterator
 
-    args = get_args_parser().parse_args(argv)
+    # get_args_parser() is add_help=False so it can be used as a parent
+    # parser (reference: dinov2/train/train.py:335 wraps it the same way).
+    parser = argparse.ArgumentParser(
+        "DINOv2 SSL training", parents=[get_args_parser()]
+    )
+    args = parser.parse_args(argv)
     cfg = setup(args)
 
     arch = SSLMetaArch(
@@ -129,3 +134,7 @@ def main(argv: Optional[List[str]] = None):
         make_batch_iter=make_batch_iter,
         resume=not args.no_resume, eval_only=args.eval_only,
     )
+
+
+if __name__ == "__main__":
+    main()

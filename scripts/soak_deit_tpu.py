@@ -309,6 +309,9 @@ def main():
                     help="only run the isolated comparator")
     ap.add_argument("--cli-child", action="store_true",
                     help="internal: register tiny model then run cli.main")
+    ap.add_argument("--from-phase", choices=["all", "C"], default="all",
+                    help="resume an interrupted soak: skip completed phases, "
+                    "recovering phase-A numbers from .soak/*.log")
     args, rest = ap.parse_known_args()
 
     if args.cli_child:
@@ -340,27 +343,46 @@ def main():
 
     summary = {"model": MODEL, "batch": BATCH}
 
-    # ---- isolated comparator (also warms the compile cache) ----
-    iso_cmd = [sys.executable, os.path.abspath(__file__), "--isolated"]
-    if args.small:
-        iso_cmd.append("--small")
-    rc, lines = stream_child(iso_cmd, log_name="isolated")
-    assert rc == 0, f"isolated comparator failed rc={rc}"
-    iso = [ln for ln in lines if ln.startswith("ISOLATED_STEP_MS")]
-    summary["isolated_step_ms"] = float(iso[-1].split()[1]) if iso else None
+    if args.from_phase == "all":
+        # ---- isolated comparator (also warms the compile cache) ----
+        iso_cmd = [sys.executable, os.path.abspath(__file__), "--isolated"]
+        if args.small:
+            iso_cmd.append("--small")
+        rc, lines = stream_child(iso_cmd, log_name="isolated")
+        assert rc == 0, f"isolated comparator failed rc={rc}"
+        iso = [ln for ln in lines if ln.startswith("ISOLATED_STEP_MS")]
+        summary["isolated_step_ms"] = \
+            float(iso[-1].split()[1]) if iso else None
 
-    # ---- phase A: fresh run, SIGTERM mid-epoch-1 ----
-    shutil.rmtree(OUT, ignore_errors=True)
-    cmd = _cli_cmd(args.small) + cli_args(OUT, None, 3, args.small)
-    t0 = time.time()
-    rc, lines = stream_child(
-        cmd, preempt_epoch1_iter=PREEMPT_AFTER_EPOCH1_ITER, log_name="phaseA"
-    )
-    summary["phaseA_wall_s"] = round(time.time() - t0, 1)
-    assert any("preempted; checkpoint saved" in ln for ln in lines), (
-        f"phase A did not take the preemption path (rc={rc}); "
-        f"tail: {lines[-5:]}"
-    )
+        # ---- phase A: fresh run, SIGTERM mid-epoch-1 ----
+        shutil.rmtree(OUT, ignore_errors=True)
+        cmd = _cli_cmd(args.small) + cli_args(OUT, None, 3, args.small)
+        t0 = time.time()
+        rc, lines = stream_child(
+            cmd, preempt_epoch1_iter=PREEMPT_AFTER_EPOCH1_ITER,
+            log_name="phaseA",
+        )
+        summary["phaseA_wall_s"] = round(time.time() - t0, 1)
+        assert any("preempted; checkpoint saved" in ln for ln in lines), (
+            f"phase A did not take the preemption path (rc={rc}); "
+            f"tail: {lines[-5:]}"
+        )
+    else:
+        # Recover phase-A numbers from the interrupted run's logs.
+        def _log_lines(name):
+            path = os.path.join(SOAK, f"{name}.log")
+            with open(path) as f:
+                return [ln.rstrip("\n") for ln in f]
+
+        iso = [ln for ln in _log_lines("isolated")
+               if ln.startswith("ISOLATED_STEP_MS")]
+        summary["isolated_step_ms"] = \
+            float(iso[-1].split()[1]) if iso else None
+        lines = _log_lines("phaseA")
+        assert any("preempted; checkpoint saved" in ln for ln in lines), \
+            "cannot resume: phase A log has no preemption record"
+        summary["phaseA_wall_s"] = None
+
     s_preempt = latest_ckpt_step(OUT)
     summary["preempt_step"] = s_preempt
     summary["steady_state_ms_phaseA"] = round(steady_state_ms(lines), 1)
@@ -369,7 +391,10 @@ def main():
 
     # ---- phase C: two independent resumes must agree bitwise ----
     for tag in ("c1", "c2"):
-        shutil.copytree(OUT, os.path.join(SOAK, f"out_{tag}"))
+        dst = os.path.join(SOAK, f"out_{tag}")
+        if not (args.from_phase != "all" and os.path.isdir(dst)):
+            shutil.rmtree(dst, ignore_errors=True)
+            shutil.copytree(OUT, dst)
     for tag in ("c1", "c2"):
         d = os.path.join(SOAK, f"out_{tag}")
         cmd = _cli_cmd(args.small) + \

@@ -1,6 +1,8 @@
 """CLI parsing, cosub loss branch, distillation, transforms, native-loader
 extras."""
 
+import os
+
 import pytest
 import random
 
@@ -133,3 +135,22 @@ def test_wandb_shims(monkeypatch):
     L.maybe_wandb_log({"loss": 0.5}, step=3)
     assert logged == [({"loss": 0.5}, 3)]
     monkeypatch.setattr(L, "_WANDB_RUN", None)
+
+
+def test_cli_modules_run_as_main():
+    """`python -m octic_vits_tpu.train.{deit,dinov2}.cli` must execute main()
+    (reference entry points are runnable scripts: deit/main.py:790,
+    dinov2/train/train.py:335). Regression: a missing __main__ guard made
+    module-run a silent rc=0 no-op, which broke the round-5 TPU soak."""
+    import subprocess
+    import sys
+
+    for mod in ("octic_vits_tpu.train.deit.cli",
+                "octic_vits_tpu.train.dinov2.cli"):
+        p = subprocess.run(
+            [sys.executable, "-m", mod, "--help"],
+            capture_output=True, text=True, timeout=300,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+        assert p.returncode == 0, (mod, p.stderr[-500:])
+        assert "usage" in p.stdout.lower(), (mod, p.stdout[:200])
