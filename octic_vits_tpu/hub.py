@@ -163,3 +163,108 @@ def load_linear_classifier(
 
     variables = {"backbone": params, "head": head_params}
     return classify_fn, variables
+
+
+# depther out_index per arch (reference: dinov2/hub/depthers.py:103-119)
+_DEPTH_OUT_INDEX = {
+    "dinov2_vits14": [2, 5, 8, 11],
+    "dinov2_vitb14": [2, 5, 8, 11],
+    "dinov2_vitl14": [4, 11, 17, 23],
+    "dinov2_vitg14": [9, 19, 29, 39],
+}
+_DEPTH_RANGES = {"NYU": (0.001, 10.0), "KITTI": (0.001, 80.0)}
+
+
+def load_depther(
+    name: str,
+    head_type: str = "dpt",
+    weights: str = "NYU",
+    layers: int = 4,
+    backbone_checkpoint: Optional[str] = None,
+    head_checkpoint: Optional[str] = None,
+    img_size: int = 224,
+    dtype: Any = jnp.float32,
+    **model_kwargs,
+):
+    """Backbone + depth head: the reference's `*_ld` / `*_dd` hub entries
+    (reference: dinov2/hub/depthers.py:70-140 linear, 180-246 DPT).
+
+    Returns (depther, variables): `depther` is a
+    models.depth.DepthEncoderDecoder whose
+    `predict(variables, images[B,H,W,3])` supports whole and
+    sliding-window inference; `variables = {'backbone':…, 'head':…}`.
+    Checkpoints are local files (zero-egress), converted on load."""
+    from octic_vits_tpu.models.depth import (
+        BNHead, DepthEncoderDecoder, DPTHead,
+    )
+
+    base = name.removesuffix("_reg")
+    if base not in _DEPTH_OUT_INDEX:
+        raise KeyError(f"no depther for {name}; known: "
+                       f"{sorted(_DEPTH_OUT_INDEX)}")
+    if weights not in _DEPTH_RANGES:
+        raise KeyError(f"unknown weights {weights}; known NYU, KITTI")
+    min_depth, max_depth = _DEPTH_RANGES[weights]
+
+    model, params = load_backbone(
+        name, checkpoint=backbone_checkpoint, img_size=img_size,
+        dtype=dtype, **model_kwargs,
+    )
+    entry = HUB_ENTRIES[name]
+
+    if head_type == "linear":
+        if layers not in (1, 4):
+            raise ValueError(f"unsupported layers={layers}")
+        out_index = (
+            _DEPTH_OUT_INDEX[base] if layers == 4 else [entry.depth - 1]
+        )
+        # bins range is hardcoded to (0.001, 80) in the reference factory
+        # regardless of dataset (dinov2/hub/depthers.py:53-67)
+        head = BNHead(
+            in_index=tuple(range(layers)), upsample=4,
+            min_depth=0.001, max_depth=80.0, dtype=dtype,
+        )
+    elif head_type == "dpt":
+        out_index = _DEPTH_OUT_INDEX[base]
+        head = DPTHead(
+            embed_dim=entry.embed_dim, channels=256,
+            min_depth=min_depth, max_depth=max_depth, dtype=dtype,
+        )
+    else:
+        raise ValueError(f"unknown head_type {head_type}")
+
+    def backbone_apply(backbone_params, images):
+        return model.apply(
+            {"params": backbone_params}, images, out_index,
+            True, True, False,  # reshape, return_class_token, norm=False
+            method=model.get_intermediate_layers,
+        )
+
+    head_params = None
+    if head_checkpoint is not None:
+        import torch
+
+        from octic_vits_tpu.utils.convert import convert_depth_head
+
+        blob = torch.load(head_checkpoint, map_location="cpu",
+                          weights_only=True)
+        sd = blob.get("state_dict", blob)
+        sd = {k: v.numpy() for k, v in sd.items()}
+        head_params = jax.tree.map(jnp.asarray, convert_depth_head(sd))
+    else:
+        # random-init fallback so the returned pair is always callable
+        dim = entry.embed_dim
+        n_levels = layers if head_type == "linear" else 4
+        fake = [
+            (jnp.zeros((1, img_size // entry.patch_size,
+                        img_size // entry.patch_size, dim), dtype),
+             jnp.zeros((1, dim), dtype))
+            for _ in range(n_levels)
+        ]
+        head_params = head.init(jax.random.PRNGKey(0), fake)["params"]
+
+    depther = DepthEncoderDecoder(
+        backbone_apply, head, patch_size=entry.patch_size,
+        min_depth=min_depth, max_depth=max_depth,
+    )
+    return depther, {"backbone": params, "head": head_params}

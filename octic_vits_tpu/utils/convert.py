@@ -251,3 +251,84 @@ def convert_standard_vit(state_dict: Dict[str, np.ndarray], depth: int) -> Dict:
     if "head.weight" in sd:
         params["head"] = _dense(sd, "head")
     return params
+
+
+def _conv_head(sd, prefix, bias=True):
+    out = {"kernel": _conv(sd[prefix + ".weight"])}
+    if bias:
+        out["bias"] = np.asarray(sd[prefix + ".bias"])
+    return out
+
+
+def convert_depth_head(state_dict: Dict[str, np.ndarray]) -> Dict:
+    """Released depth-head state_dict -> flax params for models/depth.py.
+
+    Accepts both head kinds (reference: dinov2/hub/depthers.py:131-138,
+    220-226 load `*_linear{,4}_head.pth` / `*_dpt_head.pth` into
+    `decode_head.*` of a DepthEncoderDecoder):
+    * BNHead:   decode_head.conv_depth.{weight,bias}  (1x1 conv)
+    * DPTHead:  reassemble/fusion/project/conv_depth.head tree
+      (reference: dinov2/hub/depth/decode_heads.py:528-747)
+
+    The ConvTranspose2d reassemble upsamplers ([I, O, s, s]) convert to
+    BlockExpand kernels [s, s, I, O] — exact for kernel == stride."""
+    sd = {
+        (k[len("decode_head."):] if k.startswith("decode_head.") else k):
+            np.asarray(v)
+        for k, v in state_dict.items()
+        if not k.startswith("backbone.")
+    }
+    if "reassemble_blocks.projects.0.conv.weight" not in sd:
+        # BNHead: just the 1x1 classification-regression conv
+        return {"conv_depth": _conv_head(sd, "conv_depth")}
+
+    reassemble: Dict = {}
+    for i in range(4):
+        w = sd[f"reassemble_blocks.readout_projects.{i}.0.weight"]
+        reassemble[f"readout_{i}"] = {
+            "kernel": _t(w),
+            "bias": np.asarray(
+                sd[f"reassemble_blocks.readout_projects.{i}.0.bias"]
+            ),
+        }
+        reassemble[f"project_{i}"] = _conv_head(
+            sd, f"reassemble_blocks.projects.{i}.conv"
+        )
+    for i in (0, 1):
+        w = sd[f"reassemble_blocks.resize_layers.{i}.weight"]
+        reassemble[f"resize_{i}"] = {
+            "kernel": np.ascontiguousarray(np.transpose(w, (2, 3, 0, 1))),
+            "bias": np.asarray(sd[f"reassemble_blocks.resize_layers.{i}.bias"]),
+        }
+    reassemble["resize_3"] = _conv_head(sd, "reassemble_blocks.resize_layers.3")
+
+    params: Dict = {"reassemble": reassemble}
+    for i in range(4):
+        params[f"conv_{i}"] = _conv_head(sd, f"convs.{i}.conv", bias=False)
+    for i in range(4):
+        fb: Dict = {
+            "project": _conv_head(sd, f"fusion_blocks.{i}.project.conv"),
+            "res_conv_unit2": {
+                "conv1": _conv_head(
+                    sd, f"fusion_blocks.{i}.res_conv_unit2.conv1.conv",
+                    bias=False),
+                "conv2": _conv_head(
+                    sd, f"fusion_blocks.{i}.res_conv_unit2.conv2.conv",
+                    bias=False),
+            },
+        }
+        if i > 0:
+            fb["res_conv_unit1"] = {
+                "conv1": _conv_head(
+                    sd, f"fusion_blocks.{i}.res_conv_unit1.conv1.conv",
+                    bias=False),
+                "conv2": _conv_head(
+                    sd, f"fusion_blocks.{i}.res_conv_unit1.conv2.conv",
+                    bias=False),
+            }
+        params[f"fusion_{i}"] = fb
+    params["project"] = _conv_head(sd, "project.conv")
+    for flax_name, idx in (("head_conv1", 0), ("head_conv2", 2),
+                           ("head_conv3", 4)):
+        params[flax_name] = _conv_head(sd, f"conv_depth.head.{idx}")
+    return params
