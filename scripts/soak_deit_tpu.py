@@ -197,6 +197,113 @@ def run_isolated(small: bool, iters: int = 12) -> float:
     return ms
 
 
+def run_phase_d(max_steps: int = 195, n_cached: int = 2048) -> None:
+    """Host-law A/B: the SAME integrated train() loop (EMA, metric flush,
+    logging, async dispatch) fed by PRE-AUGMENTED arrays instead of the
+    JPEG decode + 3-Augment path. steady_state(phase D) - isolated step
+    isolates the loop-glue overhead; steady_state(phase A) - phase D is the
+    host decode/augment cost, which is core-count-bound (this VM: 1 core).
+
+    Prints per-image host-pipeline costs (decode-only, decode+3-Augment)
+    measured on this host, then the usual Epoch progress lines, then one
+    PHASED_SUMMARY json line.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from PIL import Image
+
+    from octic_vits_tpu.data.datasets import build_deit_dataset
+    from octic_vits_tpu.data.transforms import PerSampleRng, three_augment
+    from octic_vits_tpu.train.deit.cli import get_args_parser
+    from octic_vits_tpu.train.deit.engine import DeiTConfig
+    from octic_vits_tpu.train.deit.main import train
+
+    args = get_args_parser().parse_args(cli_args(OUT, None, 3, False))
+    train_tf = PerSampleRng(
+        functools.partial(
+            three_augment, size=args.input_size,
+            color_jitter_strength=args.color_jitter, src=args.src,
+            reprob=args.reprob, remode=args.remode, recount=args.recount,
+        ),
+        seed=args.seed,
+    )
+    raw_ds, nb_classes = build_deit_dataset(
+        args.data_set, args.data_path, True, transform=None)
+
+    # --- host-cost measurement on this machine (single-threaded) ---
+    n_probe = 256
+    t0 = time.time()
+    imgs = [Image.open(raw_ds.samples[i][0]).convert("RGB")
+            for i in range(n_probe)]
+    decode_ms = (time.time() - t0) / n_probe * 1e3
+    t0 = time.time()
+    for i, im in enumerate(imgs):
+        train_tf(im, index=i)
+    aug_ms = (time.time() - t0) / n_probe * 1e3
+    print(f"HOST_DECODE_MS_PER_IMG {decode_ms:.2f}", flush=True)
+    print(f"HOST_AUGMENT_MS_PER_IMG {aug_ms:.2f}", flush=True)
+    del imgs
+
+    # --- pre-augment a cache through the identical transform ---
+    t0 = time.time()
+    first, lab0 = raw_ds[0]
+    first = train_tf(first, index=0)
+    cache = np.empty((n_cached,) + first.shape, first.dtype)
+    labels = np.empty((n_cached,), np.int64)
+    cache[0], labels[0] = first, lab0
+    for i in range(1, n_cached):
+        img, lab = raw_ds[i % len(raw_ds)]
+        cache[i] = train_tf(img, index=i)
+        labels[i] = lab
+    print(f"[phaseD] cached {n_cached} augmented samples in "
+          f"{time.time() - t0:.0f}s", flush=True)
+
+    class CachedDataset:
+        """Serves pre-augmented arrays; len matches the real dataset so
+        steps_per_epoch (and the schedule arithmetic) is identical."""
+
+        transform = None
+
+        def __len__(self):
+            return len(raw_ds)
+
+        def __getitem__(self, idx):
+            j = idx % n_cached
+            return cache[j], labels[j]
+
+    cfg = DeiTConfig(
+        epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
+        unscale_lr=args.unscale_lr, weight_decay=args.weight_decay,
+        warmup_epochs=args.warmup_epochs, warmup_lr=args.warmup_lr,
+        min_lr=args.min_lr, loss_type="bce" if args.bce_loss else "ce",
+        smoothing=args.smoothing, cosub=args.cosub, mixup_alpha=args.mixup,
+        cutmix_alpha=args.cutmix, drop_path=args.drop_path,
+        ema_decay=args.model_ema_decay, clip_grad=args.clip_grad,
+        num_classes=nb_classes,
+    )
+    out_d = os.path.join(SOAK, "out_d")
+    shutil.rmtree(out_d, ignore_errors=True)
+    t0 = time.time()
+    train(MODEL, cfg, CachedDataset(), None, out_d,
+          img_size=args.input_size, seed=args.seed,
+          num_workers=NUM_WORKERS, max_steps=max_steps)
+    print("PHASED_SUMMARY " + json.dumps({
+        "host_decode_ms_per_img": round(decode_ms, 2),
+        "host_augment_ms_per_img": round(aug_ms, 2),
+        "cached_samples": n_cached,
+        "max_steps": max_steps,
+        "wall_s": round(time.time() - t0, 1),
+    }), flush=True)
+
+
 def stream_child(cmd, preempt_epoch1_iter=None, timeout=7200,
                  log_name="phaseA"):
     """Run a CLI child, streaming stdout; optionally SIGTERM when
@@ -307,11 +414,16 @@ def main():
     ap.add_argument("--skip-data", action="store_true")
     ap.add_argument("--isolated", action="store_true",
                     help="only run the isolated comparator")
+    ap.add_argument("--phase-d", action="store_true",
+                    help="host-law A/B: the integrated loop fed by "
+                    "pre-augmented arrays (no decode/3-Augment per step)")
     ap.add_argument("--cli-child", action="store_true",
                     help="internal: register tiny model then run cli.main")
-    ap.add_argument("--from-phase", choices=["all", "C"], default="all",
+    ap.add_argument("--from-phase", choices=["all", "C", "B"], default="all",
                     help="resume an interrupted soak: skip completed phases, "
-                    "recovering phase-A numbers from .soak/*.log")
+                    "recovering phase-A numbers from .soak/*.log; B re-checks "
+                    "the existing phase-C checkpoints bitwise without "
+                    "re-running the resume children")
     args, rest = ap.parse_known_args()
 
     if args.cli_child:
@@ -328,6 +440,9 @@ def main():
         return
 
     os.makedirs(SOAK, exist_ok=True)
+    if args.phase_d:
+        run_phase_d()
+        return
     if args.isolated:
         if args.small:
             import jax
@@ -383,24 +498,33 @@ def main():
             "cannot resume: phase A log has no preemption record"
         summary["phaseA_wall_s"] = None
 
-    s_preempt = latest_ckpt_step(OUT)
+    if args.from_phase == "B":
+        # OUT may already hold later phase-B checkpoints from an interrupted
+        # attempt; the phase-C copies still carry the true preemption step.
+        s_preempt = min(
+            int(x) for x in os.listdir(os.path.join(SOAK, "out_c1", "ckpt"))
+            if x.isdigit()
+        )
+    else:
+        s_preempt = latest_ckpt_step(OUT)
     summary["preempt_step"] = s_preempt
     summary["steady_state_ms_phaseA"] = round(steady_state_ms(lines), 1)
     print(f"[soak] phase A preempted at step {s_preempt}; steady-state "
           f"{summary['steady_state_ms_phaseA']} ms", flush=True)
 
     # ---- phase C: two independent resumes must agree bitwise ----
-    for tag in ("c1", "c2"):
-        dst = os.path.join(SOAK, f"out_{tag}")
-        if not (args.from_phase != "all" and os.path.isdir(dst)):
-            shutil.rmtree(dst, ignore_errors=True)
-            shutil.copytree(OUT, dst)
-    for tag in ("c1", "c2"):
-        d = os.path.join(SOAK, f"out_{tag}")
-        cmd = _cli_cmd(args.small) + \
-            cli_args(d, s_preempt + DETERMINISM_EXTRA_STEPS, 3, args.small)
-        rc, lines = stream_child(cmd, log_name=f"phaseC_{tag}")
-        assert rc == 0, f"phase C ({tag}) failed rc={rc}: {lines[-5:]}"
+    if args.from_phase != "B":
+        for tag in ("c1", "c2"):
+            dst = os.path.join(SOAK, f"out_{tag}")
+            if not (args.from_phase != "all" and os.path.isdir(dst)):
+                shutil.rmtree(dst, ignore_errors=True)
+                shutil.copytree(OUT, dst)
+        for tag in ("c1", "c2"):
+            d = os.path.join(SOAK, f"out_{tag}")
+            cmd = _cli_cmd(args.small) + \
+                cli_args(d, s_preempt + DETERMINISM_EXTRA_STEPS, 3, args.small)
+            rc, lines = stream_child(cmd, log_name=f"phaseC_{tag}")
+            assert rc == 0, f"phase C ({tag}) failed rc={rc}: {lines[-5:]}"
     sc = s_preempt + DETERMINISM_EXTRA_STEPS
     t1 = load_ckpt_tree(os.path.join(SOAK, "out_c1"), sc)
     t2 = load_ckpt_tree(os.path.join(SOAK, "out_c2"), sc)
@@ -414,6 +538,11 @@ def main():
     print("[soak] resume determinism OK", flush=True)
 
     # ---- phase B: resume the original run to completion ----
+    # drop any half-written save from an interrupted earlier phase-B attempt
+    ckpt_dir = os.path.join(OUT, "ckpt")
+    for name in os.listdir(ckpt_dir):
+        if name.endswith(".orbax-checkpoint-tmp"):
+            shutil.rmtree(os.path.join(ckpt_dir, name), ignore_errors=True)
     cmd = _cli_cmd(args.small) + cli_args(OUT, MAX_STEPS_B, 3, args.small)
     t0 = time.time()
     rc, lines = stream_child(cmd, log_name="phaseB")
