@@ -90,18 +90,32 @@ def knn_classify_sharded(
     axis_names = mesh.axis_names
     ntr = train_features.shape[0]
     pad = (-ntr) % n_dev
-    tf = np.asarray(train_features, np.float32)
-    tf = tf / (np.linalg.norm(tf, axis=-1, keepdims=True) + 1e-12)
-    tl = np.asarray(train_labels)
-    if pad:
-        tf = np.concatenate([tf, np.zeros((pad, tf.shape[1]), tf.dtype)])
-        tl = np.concatenate([tl, np.full((pad,), -1, tl.dtype)])  # never top-k
     max_k = max(ks)
 
     shard = NamedSharding(mesh, P(axis_names))
     rep = NamedSharding(mesh, P())
-    tf_d = jax.device_put(jnp.asarray(tf), shard)
-    tl_d = jax.device_put(jnp.asarray(tl), shard)
+    if isinstance(train_features, jax.Array):
+        # device-resident bank: pad + reshard + normalize ON DEVICE in the
+        # bank's dtype — a host round-trip of an IN1K-scale bank (3+ GiB)
+        # costs minutes on one core and is never needed
+        tf = jnp.asarray(train_features)
+        tl = jnp.asarray(train_labels)
+        if pad:
+            tf = jnp.concatenate([tf, jnp.zeros((pad, tf.shape[1]), tf.dtype)])
+            tl = jnp.concatenate([tl, jnp.full((pad,), -1, tl.dtype)])
+        tf_d = jax.jit(l2_normalize, out_shardings=shard)(
+            jax.device_put(tf, shard))
+        tl_d = jax.device_put(tl, shard)
+    else:
+        tf = np.asarray(train_features, np.float32)
+        tf = tf / (np.linalg.norm(tf, axis=-1, keepdims=True) + 1e-12)
+        tl = np.asarray(train_labels)
+        if pad:
+            tf = np.concatenate([tf, np.zeros((pad, tf.shape[1]), tf.dtype)])
+            tl = np.concatenate(
+                [tl, np.full((pad,), -1, tl.dtype)])  # never top-k
+        tf_d = jax.device_put(jnp.asarray(tf), shard)
+        tl_d = jax.device_put(jnp.asarray(tl), shard)
 
     def local_topk(queries, feats, labels):
         sims = queries @ feats.T  # [B, ntr/D]
@@ -122,19 +136,25 @@ def knn_classify_sharded(
     )
     fn = jax.jit(fn)
 
-    out = {k: [] for k in ks}
-    q = np.asarray(test_features, np.float32)
-    q = q / (np.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
-    for start in range(0, len(q), batch_size):
-        chunk = jax.device_put(jnp.asarray(q[start : start + batch_size]), rep)
-        sims, labels = fn(chunk, tf_d, tl_d)
-        weights = jnp.exp(sims / temperature)
+    @jax.jit
+    def votes_fn(sims, labels):
+        weights = jnp.exp(sims.astype(jnp.float32) / temperature)
         valid = (labels >= 0).astype(weights.dtype)
         onehot = jax.nn.one_hot(jnp.maximum(labels, 0), num_classes) * (
             weights * valid
         )[..., None]
+        return {k: jnp.sum(onehot[:, :k], axis=1) for k in ks}
+
+    qd = jnp.asarray(test_features)
+    if qd.dtype != tf_d.dtype:
+        qd = qd.astype(tf_d.dtype)
+    qd = jax.jit(l2_normalize, out_shardings=rep)(jax.device_put(qd, rep))
+    out = {k: [] for k in ks}
+    for start in range(0, qd.shape[0], batch_size):
+        sims, labels = fn(qd[start : start + batch_size], tf_d, tl_d)
+        v = votes_fn(sims, labels)
         for k in ks:
-            out[k].append(jnp.sum(onehot[:, :k], axis=1))
+            out[k].append(v[k])
     return {k: jnp.concatenate(v) for k, v in out.items()}
 
 

@@ -186,51 +186,55 @@ class LogregSegProbe:
         y = jnp.asarray(dense, jnp.int32)
         C = self.C
 
-        def loss_fn(params):
-            w, b = params
-            logits = (
-                jax.lax.dot_general(
-                    x, w.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                + b[None, :]
-            )
-            ce = optax.softmax_cross_entropy_with_integer_labels(logits, y)
-            return 0.5 * jnp.sum(w * w) + C * jnp.sum(ce)
-
         opt = optax.lbfgs()
-        value_and_grad = optax.value_and_grad_from_state(loss_fn)
-
         p0 = (jnp.zeros((d, c), jnp.float32), jnp.zeros((c,), jnp.float32))
         s0 = opt.init(p0)
+        max_iter, tol = self.max_iter, self.tol
 
         def gnorm_inf(g):
             return jnp.maximum(
                 jnp.max(jnp.abs(g[0])), jnp.max(jnp.abs(g[1]))
             )
 
-        def cond(carry):
-            _, _, it, gmax = carry
-            return jnp.logical_and(it < self.max_iter, gmax > self.tol)
-
-        def body(carry):
-            params, state, it, _ = carry
-            value, grad = value_and_grad(params, state=state)
-            updates, state = opt.update(
-                grad, state, params, value=value, grad=grad,
-                value_fn=loss_fn,
-            )
-            params = optax.apply_updates(params, updates)
-            return params, state, it + 1, gnorm_inf(grad)
-
         @jax.jit
-        def run(p0, s0):
+        def run(x, y, p0, s0):
+            # x/y enter as jit ARGUMENTS: closing over an ADE20K-scale
+            # feature matrix lowers it as an 8+ GiB captured constant
+            def loss_fn(params):
+                w, b = params
+                logits = (
+                    jax.lax.dot_general(
+                        x, w.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    + b[None, :]
+                )
+                ce = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, y)
+                return 0.5 * jnp.sum(w * w) + C * jnp.sum(ce)
+
+            value_and_grad = optax.value_and_grad_from_state(loss_fn)
+
+            def cond(carry):
+                _, _, it, gmax = carry
+                return jnp.logical_and(it < max_iter, gmax > tol)
+
+            def body(carry):
+                params, state, it, _ = carry
+                value, grad = value_and_grad(params, state=state)
+                updates, state = opt.update(
+                    grad, state, params, value=value, grad=grad,
+                    value_fn=loss_fn,
+                )
+                params = optax.apply_updates(params, updates)
+                return params, state, it + 1, gnorm_inf(grad)
+
             return jax.lax.while_loop(
                 cond, body, (p0, s0, jnp.zeros((), jnp.int32),
                              jnp.full((), jnp.inf, jnp.float32))
             )
 
-        (w, b), _, iters, gmax = run(p0, s0)
+        (w, b), _, iters, gmax = run(x, y, p0, s0)
         self._w = np.asarray(w)
         self._b = np.asarray(b)
         self.n_iter_ = int(iters)

@@ -312,12 +312,14 @@ def run_seg() -> None:
     n_va = ADE_VAL_IMGS * ADE_PATCHES
     k0, k1, k2 = jax.random.split(jax.random.PRNGKey(0), 3)
     means = jax.random.normal(k0, (ADE_CLASSES, ADE_DIM), jnp.bfloat16)
-    tr_labels = jnp.arange(n_tr, dtype=jnp.int32) % ADE_CLASSES
+    tr_labels_np = np.arange(n_tr, dtype=np.int32) % ADE_CLASSES
     va_labels = np.arange(n_va, dtype=np.int32) % ADE_CLASSES
-    tr = make_class_features(k1, tr_labels, means, noise=1.0)
-    va = make_class_features(k2, jnp.asarray(va_labels), means, noise=1.0)
+    # jit the generation so the [4M, 1024] gather + noise + add fuse into
+    # ONE output buffer (eager materializes 3 copies -> 24 GiB -> OOM)
+    gen = jax.jit(lambda k, lab: make_class_features(k, lab, means, noise=1.0))
+    tr = gen(k1, jnp.asarray(tr_labels_np))
+    va = gen(k2, jnp.asarray(va_labels))
     jax.block_until_ready((tr, va))
-    tr_labels_np = np.asarray(tr_labels)
 
     # on-device L-BFGS at full ADE scale (one grid point; the 8-point C
     # grid is embarrassingly parallel over grid_slice round-robin)
