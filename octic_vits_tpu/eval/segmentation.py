@@ -152,7 +152,7 @@ class LogregSegProbe:
 
     def __init__(self, C: float = 1.0, max_iter: int = 1000,
                  tol: float = 1e-12, num_classes: int = 150,
-                 backend: str = "auto"):
+                 backend: str = "auto", chunk_size: int = 262144):
         if backend == "auto":
             backend = "jax" if jax.default_backend() != "cpu" else "sklearn"
         self.backend = backend
@@ -160,6 +160,7 @@ class LogregSegProbe:
         self.max_iter = int(max_iter)
         self.tol = float(tol)
         self.num_classes = num_classes
+        self.chunk_size = int(chunk_size)
         if backend == "sklearn":
             from sklearn.linear_model import LogisticRegression
 
@@ -186,6 +187,22 @@ class LogregSegProbe:
         y = jnp.asarray(dense, jnp.int32)
         C = self.C
 
+        # Chunk the CE sum so the [n, c] f32 logits (and the softmax
+        # residuals reverse-mode saves) never materialize at full n: at
+        # ADE20K scale (4M x 150) they are ~2.3 GiB EACH, which on top of
+        # the 8 GiB bf16 feature matrix overflows a 16 GiB chip during
+        # backward. A rematerialized scan keeps peak extra memory to one
+        # chunk's logits; the pad rows are masked out of the sum.
+        chunk = min(self.chunk_size, n)
+        n_pad = (-n) % chunk
+        if n_pad:
+            x = jnp.concatenate([x, jnp.zeros((n_pad, d), x.dtype)])
+            y = jnp.concatenate([y, jnp.zeros((n_pad,), y.dtype)])
+        mask = (jnp.arange(n + n_pad) < n).astype(jnp.float32)
+        xc = x.reshape(-1, chunk, d)
+        yc = y.reshape(-1, chunk)
+        mc = mask.reshape(-1, chunk)
+
         opt = optax.lbfgs()
         p0 = (jnp.zeros((d, c), jnp.float32), jnp.zeros((c,), jnp.float32))
         s0 = opt.init(p0)
@@ -197,21 +214,30 @@ class LogregSegProbe:
             )
 
         @jax.jit
-        def run(x, y, p0, s0):
-            # x/y enter as jit ARGUMENTS: closing over an ADE20K-scale
+        def run(xc, yc, mc, p0, s0):
+            # xc/yc enter as jit ARGUMENTS: closing over an ADE20K-scale
             # feature matrix lowers it as an 8+ GiB captured constant
             def loss_fn(params):
                 w, b = params
-                logits = (
-                    jax.lax.dot_general(
-                        x, w.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
+                wb = w.astype(jnp.bfloat16)
+
+                @jax.checkpoint
+                def body(acc, args):
+                    xb, yb, mb = args
+                    logits = (
+                        jax.lax.dot_general(
+                            xb, wb, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        + b[None, :]
                     )
-                    + b[None, :]
-                )
-                ce = optax.softmax_cross_entropy_with_integer_labels(
-                    logits, y)
-                return 0.5 * jnp.sum(w * w) + C * jnp.sum(ce)
+                    ce = optax.softmax_cross_entropy_with_integer_labels(
+                        logits, yb)
+                    return acc + jnp.sum(ce * mb), None
+
+                total, _ = jax.lax.scan(
+                    body, jnp.zeros((), jnp.float32), (xc, yc, mc))
+                return 0.5 * jnp.sum(w * w) + C * total
 
             value_and_grad = optax.value_and_grad_from_state(loss_fn)
 
@@ -234,7 +260,7 @@ class LogregSegProbe:
                              jnp.full((), jnp.inf, jnp.float32))
             )
 
-        (w, b), _, iters, gmax = run(x, y, p0, s0)
+        (w, b), _, iters, gmax = run(xc, yc, mc, p0, s0)
         self._w = np.asarray(w)
         self._b = np.asarray(b)
         self.n_iter_ = int(iters)

@@ -191,3 +191,30 @@ def test_knn_seg_probe_l2_distance():
         probe = KNNSegProbe(k=5, distance=dist, num_classes=3)
         pred = probe.fit(tr_f, tr_y).predict(va_f)
         assert (pred == va_y).mean() > 0.9, dist
+
+
+def test_logreg_probe_jax_backend_chunked():
+    """The on-device L-BFGS logreg (cuML analog) with a chunk size that
+    forces the scan + pad/mask path (reference protocol:
+    dinov2/eval/segmentation/eval_segmentation.py:281-337)."""
+    from octic_vits_tpu.eval.segmentation import LogregSegProbe
+
+    rng = np.random.RandomState(1)
+    centers = rng.randn(4, 16) * 4
+    y = np.tile(np.arange(4), 55)[:219]  # 219 % 64 != 0 -> pad rows masked
+    x = (centers[y] + 0.15 * rng.randn(219, 16)).astype(np.float32)
+    probe = LogregSegProbe(C=1.0, max_iter=200, num_classes=4,
+                           backend="jax", chunk_size=64)
+    probe.fit(x, y)
+    assert probe.n_iter_ > 1
+    va_y = np.tile(np.arange(4), 10)
+    va_x = (centers[va_y] + 0.15 * rng.randn(40, 16)).astype(np.float32)
+    acc = (probe.predict(va_x) == va_y).mean()
+    assert acc > 0.95, acc
+
+    # unchunked oracle agrees on the decision function
+    probe2 = LogregSegProbe(C=1.0, max_iter=200, num_classes=4,
+                            backend="jax", chunk_size=1 << 20)
+    probe2.fit(x, y)
+    acc2 = (probe2.predict(va_x) == va_y).mean()
+    assert acc2 > 0.95, acc2
